@@ -1,0 +1,220 @@
+"""Synthetic multi-relational graph generator with planted metapaths.
+
+Behavioral port of the reference generator
+(data/synthetic/create_graph_multi_metapath_deterministic.py:24-436): colored
+nodes, typed edges whose relation vocabulary is chosen per (src-color,
+dst-color) pair from an (overlap x shared_relations) grid of tables,
+backward-reachability labels along a planted metapath, sparsification of
+off-metapath edges, and the same five output files:
+
+  node.dat      node_id \t one_hot_color...
+  link.dat      src \t relation \t dst
+  label.dat     node_id \t label       (hop-K reachability indicator)
+  embedding.dat node_id \t hop_k indicators...  (ground truth per hop)
+  metapath.dat  line1 color string, line2 planted relation ids (reversed =
+                evaluation order), line3 color ids (reversed)
+
+The implementation is vectorized numpy rather than the reference's O(E^2)
+pandas row loops; outputs follow the same distributions and format.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+COLOR_LIST = ["red", "blue"]  # reference :36 (red=[0,1] one-hot col order)
+
+# (overlap, shared_relations) -> {color-pair: relation ids}; reference :71-185
+_RELATION_TABLES: Dict[int, Dict[str, List[int]]] = {
+    0: {"red-red": [0], "red-blue": [1], "blue-red": [2], "blue-blue": [3]},
+    1: {"red-red": [0, 1], "red-blue": [2, 3], "blue-red": [4, 5], "blue-blue": [6, 7]},
+    2: {"red-red": [0, 1, 2], "red-blue": [3, 4], "blue-red": [5, 6, 7], "blue-blue": [8, 9]},
+    3: {"red-red": [0, 1, 2], "red-blue": [3, 4, 5], "blue-red": [6, 7, 8, 9], "blue-blue": [10, 11, 12, 13]},
+    4: {"red-red": [0, 1], "red-blue": [1], "blue-red": [2, 3], "blue-blue": [2]},
+    5: {"red-red": [0, 7], "red-blue": [1, 2], "blue-red": [2, 3, 5], "blue-blue": [3, 4]},
+    6: {"red-red": [0, 1, 2], "red-blue": [3, 4, 0], "blue-red": [5, 6, 7], "blue-blue": [8, 9, 2]},
+    7: {"red-red": [0, 1, 2, 9], "red-blue": [3, 4, 5, 10], "blue-red": [6, 7, 8, 9], "blue-blue": [10, 11, 12, 13]},
+    8: {"red-red": [0, 3], "red-blue": [1, 2], "blue-red": [2, 3], "blue-blue": [0, 1]},
+    9: {"red-red": [0, 1, 5], "red-blue": [1, 2, 7], "blue-red": [4, 6, 5], "blue-blue": [7, 0, 3]},
+    10: {"red-red": [0, 1, 2, 7], "red-blue": [3, 4, 0], "blue-red": [5, 6, 7], "blue-blue": [8, 9, 2, 3]},
+    11: {"red-red": [0, 1, 2, 9, 8], "red-blue": [3, 4, 5, 10], "blue-red": [6, 7, 8, 9, 11], "blue-blue": [10, 11, 12, 13]},
+    12: {k: list(range(4)) for k in ("red-red", "red-blue", "blue-red", "blue-blue")},
+    13: {k: list(range(8)) for k in ("red-red", "red-blue", "blue-red", "blue-blue")},
+    14: {k: list(range(10)) for k in ("red-red", "red-blue", "blue-red", "blue-blue")},
+    15: {k: list(range(15)) for k in ("red-red", "red-blue", "blue-red", "blue-blue")},
+}
+
+
+def relation_table(overlap: int, shared_relations: int) -> Dict[str, List[int]]:
+    """Select the relation vocabulary table (reference :54-69)."""
+    return _RELATION_TABLES[overlap * 4 + shared_relations]
+
+
+def generate_synthetic_graph(
+    num_nodes: int,
+    max_rel_for_node: int,
+    metapath: str,
+    overlap: int = 0,
+    shared_relations: int = 0,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    planted_relations: Optional[Sequence[int]] = None,
+):
+    """Generate a synthetic colored graph with one planted metapath.
+
+    Returns a dict with in-memory arrays and (if ``out_dir``) writes the five
+    reference-format files. ``metapath`` is a color path like
+    ``"red-red-blue"``; the planted relation per hop is drawn from the
+    color-pair table (reference :195-204) unless pinned via
+    ``planted_relations``.
+    """
+    rng = np.random.default_rng(seed)
+    rel_table = relation_table(overlap, shared_relations)
+
+    colors_path = metapath.split("-")
+    order_colors = [COLOR_LIST.index(c) for c in colors_path]
+    if planted_relations is None:
+        meta_fwd = [
+            int(rng.choice(rel_table[f"{colors_path[i]}-{colors_path[i+1]}"]))
+            for i in range(len(colors_path) - 1)
+        ]
+    else:
+        meta_fwd = [int(r) for r in planted_relations]
+    metapath_length = len(meta_fwd)
+    # Reference reverses both lists before use (:200-203): meta[0] becomes the
+    # LAST relation on the path; labels propagate backwards from the far end.
+    meta = meta_fwd[::-1]
+    order_colors_rev = order_colors[::-1]
+
+    # ------------------------------------------------------------- nodes
+    colors = rng.integers(0, len(COLOR_LIST), size=num_nodes)
+    node_feats = np.zeros((num_nodes, len(COLOR_LIST)), dtype=np.int64)
+    node_feats[np.arange(num_nodes), colors] = 1
+
+    # ------------------------------------------------------------- edges
+    out_deg = rng.integers(1, max_rel_for_node + 1, size=num_nodes)
+    E = int(out_deg.sum())
+    src = np.repeat(np.arange(num_nodes), out_deg)
+    # dst sampled uniformly from [0, num_nodes-1) excluding src (reference
+    # :245 excludes self-loops; its off-by-one also excludes node N-1 as a
+    # destination — reproduced for distributional parity).
+    dst = rng.integers(0, num_nodes - 1, size=E)
+    clash = dst == src
+    while clash.any():
+        dst[clash] = rng.integers(0, num_nodes - 1, size=int(clash.sum()))
+        clash = dst == src
+    # relation drawn uniformly from the color-pair vocabulary (:246-249)
+    pair_key = colors[src] * len(COLOR_LIST) + colors[dst]
+    rel = np.empty(E, dtype=np.int64)
+    for sc in range(len(COLOR_LIST)):
+        for dc in range(len(COLOR_LIST)):
+            key = sc * len(COLOR_LIST) + dc
+            sel = pair_key == key
+            vocab = np.asarray(
+                rel_table[f"{COLOR_LIST[sc]}-{COLOR_LIST[dc]}"], dtype=np.int64
+            )
+            rel[sel] = vocab[rng.integers(0, len(vocab), size=int(sel.sum()))]
+
+    # ---------------------------------------- backward reachability labels
+    # Hop 0 (reference :260-269): src has color order_colors_rev[1], edge has
+    # relation meta[0], dst has color order_colors_rev[0].
+    # Hop k (:270-290): src color order_colors_rev[k+1] (relaxed for the last
+    # hop), relation meta[k], dst reachable at hop k-1 with color
+    # order_colors_rev[k].
+    embeddings: List[np.ndarray] = []
+    current = np.zeros(num_nodes, dtype=np.int64)
+    for k in range(metapath_length):
+        nxt = np.zeros(num_nodes, dtype=np.int64)
+        dst_color_ok = colors[dst] == order_colors_rev[k]
+        rel_ok = rel == meta[k]
+        if k == 0:
+            src_ok = colors[src] == order_colors_rev[1]
+            hit = src_ok & rel_ok & dst_color_ok
+        elif k == metapath_length - 1:
+            hit = rel_ok & dst_color_ok & (current[dst] == 1)
+        else:
+            src_ok = colors[src] == order_colors_rev[k + 1]
+            hit = src_ok & rel_ok & dst_color_ok & (current[dst] == 1)
+        nxt[src[hit]] = 1
+        embeddings.append(nxt)
+        current = nxt
+    labels = current.copy()
+
+    # ------------------------------------------------- sparsification
+    # Reference :369-393: an edge is KEPT unless, for some hop k, its source
+    # is hop-k reachable, its destination has the hop-k color, and its
+    # relation is NOT the hop-k planted relation — unless the same (source,
+    # color) pair also matches the planted relation for some hop (bool=True
+    # wins over False).
+    emb_fwd = [embeddings[i] for i in range(metapath_length)][::-1]
+    meta1 = meta[::-1]
+    meta_c1 = order_colors_rev[::-1]
+    keep_true = np.zeros(E, dtype=bool)
+    keep_false = np.zeros(E, dtype=bool)
+    for i in range(metapath_length):
+        lbl = emb_fwd[i] == 1
+        col_ok = colors[dst] == meta_c1[i]
+        src_ok = lbl[src]
+        keep_true |= (rel == meta1[i]) & col_ok & src_ok
+    for i in range(metapath_length):
+        lbl = emb_fwd[i] == 1
+        col_ok = colors[dst] == meta_c1[i]
+        src_ok = lbl[src]
+        keep_false |= (rel != meta1[i]) & col_ok & src_ok & ~keep_true
+    keep = ~keep_false
+    src_k, rel_k, dst_k = src[keep], rel[keep], dst[keep]
+
+    result = {
+        "colors": colors,
+        "node_features": node_feats,
+        "src": src_k,
+        "rel": rel_k,
+        "dst": dst_k,
+        "labels": labels,
+        "embeddings": embeddings,
+        "metapath_relations": meta,          # reversed order, as metapath.dat
+        "metapath_relations_path_order": meta_fwd,
+        "metapath_colors": order_colors_rev,
+        "metapath_str": metapath,
+    }
+
+    if out_dir is not None:
+        write_dat_files(out_dir, result)
+    return result
+
+
+def write_dat_files(out_dir: str, g: dict) -> None:
+    """Write the five reference-format files (reference :396-436)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(g["colors"])
+    with open(os.path.join(out_dir, "node.dat"), "w") as f:
+        for i in range(n):
+            f.write(str(i) + "\t" + "\t".join(str(v) for v in g["node_features"][i]) + "\n")
+    with open(os.path.join(out_dir, "link.dat"), "w") as f:
+        for s, r, d in zip(g["src"].tolist(), g["rel"].tolist(), g["dst"].tolist()):
+            f.write(f"{s}\t{r}\t{d}\n")
+    with open(os.path.join(out_dir, "label.dat"), "w") as f:
+        for i in range(n):
+            f.write(f"{i}\t{int(g['labels'][i])}\n")
+    with open(os.path.join(out_dir, "embedding.dat"), "w") as f:
+        for i in range(n):
+            f.write(str(i) + "\t" + "\t".join(str(int(e[i])) for e in g["embeddings"]) + "\t\n")
+    with open(os.path.join(out_dir, "metapath.dat"), "w") as f:
+        f.write(g["metapath_str"] + "\n")
+        f.write(" ".join(str(v) for v in g["metapath_relations"]) + " \n")
+        f.write(" ".join(str(v) for v in g["metapath_colors"]) + " ")
+
+
+def read_planted_metapath(folder: str) -> List[int]:
+    """Read the planted relation sequence from metapath.dat (line 2).
+
+    The stored order is the reference's reversed order, which is exactly the
+    order MultiMetapathGNN applies relations hop-by-hop and the order the
+    search engine discovers them (prepending each earlier hop, main.py:1427).
+    """
+    with open(os.path.join(folder, "metapath.dat")) as f:
+        lines = f.read().splitlines()
+    return [int(v) for v in lines[1].split()]

@@ -1,0 +1,166 @@
+"""Metapath GNN models.
+
+``MultiMetapathGNN`` is the functional parity target of the reference's
+``MPNetm`` (model.py:179-228): per metapath m, a stack of single-relation
+RelConvs (hop j aggregates only relation metapaths[m][j]; first hop maps
+input_dim -> hidden, later hops hidden -> hidden), ReLU + Dropout(0.6) after
+every hop, per-metapath embeddings concatenated, then
+fc1 -> ReLU -> fc2 -> log_softmax.
+
+``RGCNNet`` is the plain RGCN baseline (``Net``, model.py:132-149 /
+main_rgcn.py): conv1 applied once then conv2 repeated, each over ALL
+relations, ReLU between layers, Linear head, log_softmax.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpgnn_tpu.models.relconv import (
+    RelConvParams,
+    fast_rgcn_aggregate,
+    glorot,
+    init_relconv,
+)
+from mpgnn_tpu.ops.spmm import rel_mean_aggregate
+
+
+class LinearParams(NamedTuple):
+    w: jax.Array
+    b: jax.Array
+
+
+def init_linear(key: jax.Array, in_dim: int, out_dim: int) -> LinearParams:
+    """torch.nn.Linear default init: U(-sqrt(1/fan_in), sqrt(1/fan_in))."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(float(in_dim)))
+    return LinearParams(
+        w=jax.random.uniform(k1, (in_dim, out_dim), minval=-bound, maxval=bound),
+        b=jax.random.uniform(k2, (out_dim,), minval=-bound, maxval=bound),
+    )
+
+
+class MPGNNParams(NamedTuple):
+    convs: Tuple[Tuple[RelConvParams, ...], ...]  # [metapath][hop]
+    fc1: LinearParams
+    fc2: LinearParams
+
+
+def init_mpgnn(
+    key: jax.Array,
+    input_dim: int,
+    hidden_dim: int,
+    num_classes: int,
+    metapaths: Sequence[Sequence[int]],
+) -> MPGNNParams:
+    """Parameter layout mirrors MPNetm.__init__ (model.py:186-201): one conv
+    stack per metapath; fc1 maps hidden*len(metapaths) -> hidden."""
+    keys = jax.random.split(key, len(metapaths) + 2)
+    convs = []
+    for i, mp in enumerate(metapaths):
+        hop_keys = jax.random.split(keys[i], max(len(mp), 1))
+        stack = [init_relconv(hop_keys[0], input_dim, hidden_dim)]
+        for j in range(1, len(mp)):
+            stack.append(init_relconv(hop_keys[j], hidden_dim, hidden_dim))
+        convs.append(tuple(stack))
+    fc1 = init_linear(keys[-2], hidden_dim * len(metapaths), hidden_dim)
+    fc2 = init_linear(keys[-1], hidden_dim, num_classes)
+    return MPGNNParams(convs=tuple(convs), fc1=fc1, fc2=fc2)
+
+
+def mpgnn_forward(
+    params: MPGNNParams,
+    x: jax.Array,
+    hop_src: Sequence[Sequence[jax.Array]],   # [metapath][hop] -> [E_pad]
+    hop_dst: Sequence[Sequence[jax.Array]],
+    hop_mask: Sequence[Sequence[jax.Array]],
+    *,
+    dropout_rate: float = 0.6,
+    dropout_rng: jax.Array | None = None,
+    train: bool = False,
+) -> jax.Array:
+    """Forward pass (parity: MPNetm.forward, model.py:203-228).
+
+    Each (metapath, hop) has its relation's padded edge arrays. Dropout is
+    applied after every hop's ReLU during training (model.py:210-214)."""
+    num_nodes = x.shape[0]
+    embeddings = []
+    drop_i = 0
+    for i, stack in enumerate(params.convs):
+        h = x
+        for j, conv in enumerate(stack):
+            agg = rel_mean_aggregate(
+                h, hop_src[i][j], hop_dst[i][j], num_nodes, hop_mask[i][j]
+            )
+            h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
+            if train and dropout_rate > 0.0:
+                key = jax.random.fold_in(dropout_rng, drop_i)
+                keep = jax.random.bernoulli(key, 1.0 - dropout_rate, h.shape)
+                h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+            drop_i += 1
+        embeddings.append(h)
+    h = jnp.concatenate(embeddings, axis=1)
+    h = jax.nn.relu(h @ params.fc1.w + params.fc1.b)
+    h = h @ params.fc2.w + params.fc2.b
+    return jax.nn.log_softmax(h, axis=1)
+
+
+# --------------------------------------------------------------- RGCN baseline
+class RGCNConvParams(NamedTuple):
+    weight: jax.Array  # [R, in, out]
+    root: jax.Array    # [in, out]
+    bias: jax.Array    # [out]
+
+
+class RGCNNetParams(NamedTuple):
+    conv1: RGCNConvParams
+    conv2: RGCNConvParams
+    linear: LinearParams
+
+
+def _init_rgcn_conv(key, in_dim, out_dim, num_rel) -> RGCNConvParams:
+    k1, k2 = jax.random.split(key)
+    return RGCNConvParams(
+        weight=glorot(k1, (num_rel, in_dim, out_dim)),
+        root=glorot(k2, (in_dim, out_dim)),
+        bias=jnp.zeros((out_dim,), jnp.float32),
+    )
+
+
+def init_rgcn_net(
+    key: jax.Array,
+    input_dim: int,
+    hidden_dim: int,
+    num_rel: int,
+    output_dim: int,
+    num_classes: int,
+) -> RGCNNetParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return RGCNNetParams(
+        conv1=_init_rgcn_conv(k1, input_dim, hidden_dim, num_rel),
+        conv2=_init_rgcn_conv(k2, hidden_dim, output_dim, num_rel),
+        linear=init_linear(k3, output_dim, num_classes),
+    )
+
+
+def rgcn_net_forward(
+    params: RGCNNetParams,
+    x: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    edge_type: jax.Array,
+    metapath_length: int,
+) -> jax.Array:
+    """Plain RGCN applied metapath_length times (Net.forward,
+    model.py:141-149): conv1 first, conv2 for the remaining layers."""
+    num_nodes = x.shape[0]
+    h = x
+    for layer in range(metapath_length):
+        p = params.conv1 if layer == 0 else params.conv2
+        agg = fast_rgcn_aggregate(h, p.weight, src, dst, edge_type, num_nodes)
+        h = jax.nn.relu(agg + h @ p.root + p.bias)
+    h = h @ params.linear.w + params.linear.b
+    return jax.nn.log_softmax(h, axis=1)
