@@ -1,0 +1,245 @@
+"""The greedy metapath search engine.
+
+Parity target: the reference's ``main(args)`` orchestration
+(main.py:1191-1476), with the mpi4py coordinator/worker fan-out replaced by
+vmapped device sweeps:
+
+  hop 0   score every candidate relation         -> one vmapped sweep
+  select  elbow-gap cut on final losses           (main.py:1336-1355)
+  hops 1..3  per metapath: build bags, score all candidate relations under
+          bag semantics (restarts), gap-cut, extend each survivor by
+          prepending its relation, pseudo-relabel via max-over-restart
+          predictions, rebuild + clean dictionaries (main.py:1381-1440)
+  final   train an MPGNN per discovered metapath, rank by validation
+          macro-F1, then greedily grow the top-k joint model while test
+          macro-F1 improves (main.py:1442-1476)
+
+All graph state stays on device; the host only runs the small data-dependent
+control flow (selection, bag bookkeeping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mpgnn_tpu.config import SearchConfig
+from mpgnn_tpu.graph.hetero import HeteroGraph, NodeSplit
+from mpgnn_tpu.search import bags as bagmod
+from mpgnn_tpu.search.scoring import (
+    BagScore,
+    retrain_bags_predictions,
+    score_relations_bags,
+    score_relations_flat,
+)
+from mpgnn_tpu.train.loops import train_mpgnn
+
+log = logging.getLogger("mpgnn_tpu.search")
+
+
+@dataclasses.dataclass
+class MetapathState:
+    """Search frontier entry (the reference's current_metapaths_dict value,
+    main.py:1363-1370 / 1435: [loss, f1, edge_dict, dest_dict, data])."""
+
+    path: List[int]
+    score: float
+    edge_dict: Dict[int, List[int]]
+    dest_dict: Dict[int, List[float]]
+    node_labels: np.ndarray         # node-indexed pseudo-labels
+    source_nodes: List[int]
+
+
+@dataclasses.dataclass
+class SearchResult:
+    metapaths: List[List[int]]          # greedy-selected final set
+    test_f1: float
+    val_f1_by_path: Dict[str, float]    # all evaluated candidates
+    discovered: List[List[int]]         # every metapath that entered final eval
+
+
+def find_metapaths(
+    graph: HeteroGraph,
+    binary_labels: np.ndarray,
+    split: NodeSplit,
+    num_classes: int,
+    config: Optional[SearchConfig] = None,
+    dataset: str = "synthetic",
+    source_nodes: Optional[Sequence[int]] = None,
+    x_features: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> SearchResult:
+    """Run the full metapath search for one binary label vector.
+
+    ``binary_labels`` is node-indexed for synthetic datasets; for datasets
+    where only ``source_nodes`` carry labels it is aligned with that list
+    (reference main.py:1214-1289 semantics)."""
+    cfg = config or SearchConfig()
+    rng = np.random.default_rng(seed)
+    x = np.asarray(graph.x if x_features is None else x_features, np.float32)
+    N = graph.num_nodes
+
+    # node-indexed label vector
+    node_labels = np.zeros(N, dtype=np.float32)
+    if source_nodes is not None:
+        src_list = [int(v) for v in source_nodes]
+        node_labels[np.asarray(src_list)] = np.asarray(binary_labels).reshape(-1)
+    else:
+        src_list = None
+        node_labels[:] = np.asarray(binary_labels).reshape(-1)
+
+    # ---------------------------------------------------------------- hop 0
+    t0 = time.time()
+    if dataset == "synthetic":
+        candidates = bagmod.connected_relations(graph, node_labels=node_labels)
+    else:
+        candidates = bagmod.connected_relations(graph, source_nodes=src_list)
+    log.info("hop-0 candidates: %s", candidates)
+    flat = score_relations_flat(
+        graph, candidates, node_labels, src_list, cfg.scorer, rng
+    )
+    items = [(r, flat[r].loss) for r in candidates]
+    survivors = bagmod.flat_gap_selection(items)
+    log.info(
+        "hop-0 losses: %s -> survivors %s (%.1fs)",
+        {r: round(l, 4) for r, l in items},
+        [r for r, _ in survivors],
+        time.time() - t0,
+    )
+
+    current: List[MetapathState] = []
+    for rel, loss in survivors:
+        if src_list is None:
+            srcs_r = np.unique(graph.rel_edges(rel)[0]).tolist()
+        else:
+            srcs_r = src_list
+        edge_dict, dest_dict = bagmod.build_dictionaries(
+            graph, rel, srcs_r, node_labels
+        )
+        current.append(
+            MetapathState(
+                path=[rel],
+                score=loss,
+                edge_dict=edge_dict,
+                dest_dict=dest_dict,
+                node_labels=node_labels.copy(),
+                source_nodes=srcs_r,
+            )
+        )
+
+    final_paths: List[List[int]] = [list(s.path) for s in current]
+
+    # ------------------------------------------------------- hops 1..max
+    for k in range(cfg.max_extension_hops):
+        next_states: List[MetapathState] = []
+        for state in current:
+            t0 = time.time()
+            bag_list, bag_labels = bagmod.create_bags(
+                state.edge_dict, state.dest_dict, cfg.bags.positive_min_label
+            )
+            if not bag_list:
+                continue
+            members = sorted(set(m for b in bag_list for m in b))
+            rels = bagmod.connected_relations(graph, bag_members=members)
+            if not rels:
+                continue
+            scores = score_relations_bags(
+                graph, rels, bag_list, bag_labels, cfg.scorer, rng, x=x
+            )
+            valid = [
+                scores[r] for r in rels if not scores[r].degenerate
+            ]
+            survivors = bagmod.bag_gap_selection(
+                [(s.relation, s.loss) for s in valid]
+            )
+            surv_rels = {r for r, _ in survivors}
+            log.info(
+                "hop %d, path %s: bag losses %s -> extend with %s (%.1fs)",
+                k + 1,
+                state.path,
+                {s.relation: round(s.loss, 4) for s in valid},
+                sorted(surv_rels),
+                time.time() - t0,
+            )
+            for s in valid:
+                if s.relation not in surv_rels:
+                    continue
+                new_path = [s.relation] + state.path
+                if new_path not in final_paths:
+                    final_paths.append(new_path)
+                # extra restart for prediction collection (retrain_bags,
+                # main.py:814-851 invoked at :1431)
+                mv, rec = retrain_bags_predictions(
+                    graph, s.relation, bag_list, bag_labels, cfg.scorer, rng, x
+                )
+                pred_max = np.where(
+                    s.member_recorded, s.member_pred_max, -np.inf
+                )
+                pred_max = np.maximum(pred_max, np.where(rec, mv, -np.inf))
+                recorded = s.member_recorded | rec
+                new_sources, new_labels = bagmod.relabel_from_predictions(
+                    pred_max, recorded, N, cfg.bags.relabel_threshold
+                )
+                edge_dict, dest_dict = bagmod.build_dictionaries(
+                    graph, s.relation, new_sources, new_labels
+                )
+                edge_dict, dest_dict = bagmod.clean_dictionaries(
+                    x, edge_dict, dest_dict, s.attribution,
+                    cfg.bags.attribution_threshold,
+                )
+                next_states.append(
+                    MetapathState(
+                        path=new_path,
+                        score=s.loss,
+                        edge_dict=edge_dict,
+                        dest_dict=dest_dict,
+                        node_labels=new_labels,
+                        source_nodes=new_sources,
+                    )
+                )
+        current = next_states
+        if not current:
+            break
+
+    # --------------------------------------------------------- final eval
+    val_by_path: Dict[str, float] = {}
+    for path in final_paths:
+        t0 = time.time()
+        res = train_mpgnn(
+            graph, [path], split, num_classes, cfg.mpgnn,
+            seed=seed, x_override=x,
+        )
+        val_by_path[str(path)] = res.val_f1
+        log.info(
+            "eval %s: val F1 %.4f (%.1fs)", path, res.val_f1, time.time() - t0
+        )
+
+    ranked = sorted(val_by_path.items(), key=lambda kv: kv[1], reverse=True)
+    top = [eval(k) for k, _ in ranked[: cfg.top_k_final]]
+
+    # greedy accumulation while test F1 improves (main.py:1463-1476)
+    test_meta: List[List[int]] = []
+    f_meta: List[List[int]] = []
+    old_macro = 0.0
+    for path in top:
+        test_meta.append(path)
+        res = train_mpgnn(
+            graph, test_meta, split, num_classes, cfg.mpgnn,
+            seed=seed, x_override=x,
+        )
+        if res.test_f1 > old_macro:
+            old_macro = res.test_f1
+            f_meta.append(path)
+        else:
+            break
+    log.info("final meta: %s test F1 %.4f", f_meta, old_macro)
+    return SearchResult(
+        metapaths=f_meta,
+        test_f1=old_macro,
+        val_f1_by_path=val_by_path,
+        discovered=final_paths,
+    )

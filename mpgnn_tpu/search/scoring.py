@@ -1,0 +1,480 @@
+"""Vmapped relation-scoring sweeps.
+
+The reference scores each relation by training a tiny per-relation model in a
+separate MPI process (`score_relation_parallel` main.py:727-760 fanned out at
+main.py:1319-1328; `score_relation_bags_parallel` main.py:853-917 at
+main.py:1400-1408), shipping pickled graphs between ranks. Here the relation
+axis is a vmapped batch dimension: node weights become ``[R, N]``, neighbor
+tables ``[R, N, D]``, and ALL candidate relations train simultaneously in one
+jitted program per restart round. Relation chunking bounds device memory.
+
+Semantics reproduced exactly (see models/scorer.py for the forward parity):
+* Adam(lr=0.1) + MSE, 100 epochs flat / 50 per bag restart
+  (main.py:521-528, 755, 890)
+* post-step clamp of weights and attribution vector to [0, 1]
+  (main.py:667-669)
+* label-informed init, U(0,1) re-init with frozen destinations kept
+  (main.py:479-516)
+* bag restarts until 2 consecutive non-improvements (main.py:884-911), with
+  the monotone grad-mask accumulation quirk (main.py:909-910: entries zeroed
+  for a restart's frozen set are never un-zeroed)
+* reported score = final-epoch forward loss
+* degenerate-relation flag (single cleaned bag, or no positive cleaned bag;
+  main.py:876-882)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpgnn_tpu.config import ScorerConfig
+from mpgnn_tpu.graph.hetero import HeteroGraph
+
+_MEM_BUDGET_ENTRIES = 48_000_000  # per-chunk cap on R*N*D ELL entries
+
+
+# ------------------------------------------------------------------ helpers
+def _relation_ell_stack(
+    graph: HeteroGraph, relations: Sequence[int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack per-relation ELL tables to common [R, N, D_max]."""
+    tables = [graph.neighbor_table(int(r)) for r in relations]
+    d_max = max(t[0].shape[1] for t in tables)
+    R, N = len(tables), graph.num_nodes
+    nbr = np.zeros((R, N, d_max), dtype=np.int32)
+    mask = np.zeros((R, N, d_max), dtype=bool)
+    for i, (t, m) in enumerate(tables):
+        nbr[i, :, : t.shape[1]] = t
+        mask[i, :, : m.shape[1]] = m
+    return nbr, mask
+
+
+def _chunks(relations: Sequence[int], graph: HeteroGraph) -> List[List[int]]:
+    """Split the relation list so each chunk's stacked ELL fits the budget."""
+    out: List[List[int]] = []
+    cur: List[int] = []
+    cur_cost = 0
+    for r in relations:
+        nbr, _ = graph.neighbor_table(int(r))
+        cost = graph.num_nodes * max(nbr.shape[1], 1)
+        if cur and cur_cost + cost > _MEM_BUDGET_ENTRIES:
+            out.append(cur)
+            cur, cur_cost = [], 0
+        cur.append(int(r))
+        cur_cost += cost
+    if cur:
+        out.append(cur)
+    return out
+
+
+def dest_min_labels(
+    graph: HeteroGraph,
+    relation: int,
+    source_mask: np.ndarray,   # [N] bool — sources contributing labels
+    node_labels: np.ndarray,   # [N] float — per-node (pseudo-)labels
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(dest node ids, min source label per dest) for one relation — the
+    label-informed init data (destination_dictionary semantics,
+    main.py:412-424)."""
+    src, dst = graph.rel_edges(relation)
+    sel = source_mask[src]
+    src, dst = src[sel], dst[sel]
+    if len(dst) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    order = np.argsort(dst, kind="stable")
+    dsts, starts = np.unique(dst[order], return_index=True)
+    mins = np.minimum.reduceat(node_labels[src[order]], starts)
+    return dsts.astype(np.int64), mins.astype(np.float32)
+
+
+# ======================================================== flat (hop-0) sweep
+@dataclasses.dataclass
+class FlatScore:
+    relation: int
+    loss: float
+    weights: np.ndarray  # trained [N] node weights
+
+
+@partial(jax.jit, static_argnames=("epochs", "lr"))
+def _flat_sweep(w0, nbr, nbr_mask, loss_mask, y, *, epochs: int, lr: float):
+    """Train all relations' flat scorers simultaneously.
+
+    w0 [R, N]; nbr/nbr_mask [R, N, D]; loss_mask [R, N] floats selecting each
+    relation's source set; y [N] node labels. Returns (w [R, N], loss [R]).
+    """
+    import optax
+
+    opt = optax.adam(lr)
+
+    def one_relation(w0_r, nbr_r, mask_r, lmask_r):
+        denom = jnp.maximum(jnp.sum(lmask_r), 1.0)
+        has_edge = jnp.any(mask_r, axis=-1)
+
+        def loss_fn(w):
+            vals = jnp.where(mask_r, w[nbr_r], -jnp.inf)
+            j = jnp.argmax(vals, axis=-1)
+            winner = jnp.take_along_axis(nbr_r, j[..., None], axis=-1)[..., 0]
+            pred = jnp.where(has_edge, w[winner], 0.0)
+            return jnp.sum((pred - y) ** 2 * lmask_r) / denom
+
+        def epoch(carry, _):
+            w, st = carry
+            loss, g = jax.value_and_grad(loss_fn)(w)
+            upd, st = opt.update(g, st)
+            w = optax.apply_updates(w, upd)
+            w = jnp.clip(w, 0.0, 1.0)            # main.py:668
+            return (w, st), loss
+
+        (w, _), losses = jax.lax.scan(
+            epoch, (w0_r, opt.init(w0_r)), None, length=epochs
+        )
+        return w, losses[-1]
+
+    return jax.vmap(one_relation)(w0, nbr, nbr_mask, loss_mask)
+
+
+def score_relations_flat(
+    graph: HeteroGraph,
+    relations: Sequence[int],
+    node_labels: np.ndarray,
+    source_nodes: Optional[Sequence[int]],
+    cfg: ScorerConfig = ScorerConfig(),
+    rng: Optional[np.random.Generator] = None,
+) -> Dict[int, FlatScore]:
+    """Hop-0 sweep (score_relation_parallel parity, main.py:727-760).
+
+    ``source_nodes=None`` mirrors the reference's first=True branch
+    (main.py:728-735): each relation's source set is the unique sources of
+    its own edges. Otherwise the fixed labeled-source list is used for every
+    relation (FB15K/ACM mode)."""
+    rng = rng or np.random.default_rng(0)
+    node_labels = np.asarray(node_labels, dtype=np.float32).reshape(-1)
+    N = graph.num_nodes
+    results: Dict[int, FlatScore] = {}
+
+    fixed_mask = None
+    if source_nodes is not None:
+        fixed_mask = np.zeros(N, dtype=bool)
+        fixed_mask[np.asarray(list(source_nodes), dtype=np.int64)] = True
+
+    for chunk in _chunks(relations, graph):
+        nbr, mask = _relation_ell_stack(graph, chunk)
+        R = len(chunk)
+        w0 = np.empty((R, N), dtype=np.float32)
+        loss_mask = np.zeros((R, N), dtype=np.float32)
+        for i, r in enumerate(chunk):
+            has_edge = mask[i].any(axis=-1)
+            src_mask = has_edge if fixed_mask is None else fixed_mask
+            loss_mask[i] = src_mask.astype(np.float32)
+            dsts, mins = dest_min_labels(graph, r, src_mask, node_labels)
+            w0[i] = rng.uniform(0.0, 1.0, size=N)
+            if len(dsts):
+                w0[i, dsts] = np.abs(
+                    mins + rng.uniform(-cfg.init_noise, cfg.init_noise, len(dsts))
+                )
+        w, loss = _flat_sweep(
+            jnp.asarray(w0), jnp.asarray(nbr), jnp.asarray(mask),
+            jnp.asarray(loss_mask), jnp.asarray(node_labels),
+            epochs=cfg.epochs_flat, lr=cfg.lr,
+        )
+        w = np.asarray(w)
+        loss = np.asarray(loss)
+        for i, r in enumerate(chunk):
+            results[int(r)] = FlatScore(int(r), float(loss[i]), w[i])
+    return results
+
+
+# =========================================================== bag-mode sweep
+@dataclasses.dataclass
+class BagScore:
+    relation: int
+    loss: float                    # best loss across restarts
+    degenerate: bool               # the reference's ``v`` flag
+    weights: np.ndarray            # [N] node weights of last restart
+    attribution: np.ndarray        # [F] LinearLayerAttri vector of last restart
+    member_pred_max: np.ndarray    # [N] running max member value over restarts
+    member_recorded: np.ndarray    # [N] bool — member had r-edges (recorded)
+    num_restarts: int
+
+
+@partial(jax.jit, static_argnames=("epochs", "lr"))
+def _bag_round(
+    w0, u0, nbr, nbr_mask, bags, member_mask, bag_labels, bag_keep,
+    grad_mask, frozen_mask, x, *, epochs: int, lr: float,
+):
+    """One restart round (50 epochs) for all relations at once.
+
+    Shapes: w0 [R,N], u0 [R,F], nbr/nbr_mask [R,N,D], bags [B,M] shared,
+    member_mask [R,B,M], bag_labels [B], bag_keep [R,B], grad_mask [R,N],
+    frozen_mask [R,N] (frozen values = w0 entries), x [N,F].
+
+    Returns (w, u, final_loss [R], per_bag_loss [R,B], bag_winner [R,B],
+    member_value [R,N])."""
+    import optax
+
+    opt = optax.adam(lr)
+
+    def one_relation(w0_r, u0_r, nbr_r, mask_r, mmask_r, keep_r, gmask_r, fmask_r):
+        denom = jnp.maximum(jnp.sum(keep_r), 1.0)
+        has_edge = jnp.any(mask_r, axis=-1)
+
+        def forward(w, u):
+            lin = x @ u                                  # [N]
+            prod = jnp.where(mask_r, w[nbr_r] * lin[:, None], -jnp.inf)
+            j = jnp.argmax(prod, axis=-1)
+            member_winner = jnp.take_along_axis(nbr_r, j[..., None], -1)[..., 0]
+            member_value = jnp.where(has_edge, w[member_winner] * lin, 0.0)
+            vals = jnp.where(mmask_r, member_value[bags], -jnp.inf)
+            m = jnp.argmax(vals, axis=-1)
+            any_member = jnp.any(mmask_r, axis=-1)
+            pred = jnp.where(
+                any_member,
+                jnp.take_along_axis(vals, m[..., None], -1)[..., 0],
+                0.0,
+            )
+            bag_member = jnp.take_along_axis(bags, m[..., None], -1)[..., 0]
+            winner = member_winner[bag_member]
+            return pred, winner, member_value, member_winner
+
+        def loss_fn(params):
+            w, u = params
+            pred, _, _, _ = forward(w, u)
+            per_bag = (pred - bag_labels) ** 2 * keep_r
+            return jnp.sum(per_bag) / denom
+
+        def epoch(carry, _):
+            (w, u), st = carry
+            loss, g = jax.value_and_grad(loss_fn)((w, u))
+            gw, gu = g
+            gw = gw * gmask_r                            # main.py:663-664
+            upd, st = opt.update((gw, gu), st)
+            w, u = optax.apply_updates((w, u), upd)
+            w = jnp.clip(w, 0.0, 1.0)                    # main.py:668
+            u = jnp.clip(u, 0.0, 1.0)                    # main.py:669
+            w = jnp.where(fmask_r, w0_r, w)              # main.py:670-672
+            return ((w, u), st), loss
+
+        ((w, u), st), _ = jax.lax.scan(
+            epoch, ((w0_r, u0_r), opt.init((w0_r, u0_r))), None,
+            length=epochs - 1,
+        )
+        # Final epoch unrolled so the reported loss / per-bag losses / argmax
+        # destinations / member values come from the last forward pass BEFORE
+        # the last optimizer step — exactly what the reference's train()
+        # returns on its final call (main.py:641-673).
+        pred, winner, member_value, _ = forward(w, u)
+        per_bag = (pred - bag_labels) ** 2
+        loss = jnp.sum(per_bag * keep_r) / denom
+        g = jax.grad(loss_fn)((w, u))
+        gw, gu = g
+        gw = gw * gmask_r
+        upd, st = opt.update((gw, gu), st)
+        w, u = optax.apply_updates((w, u), upd)
+        w = jnp.clip(w, 0.0, 1.0)
+        u = jnp.clip(u, 0.0, 1.0)
+        w = jnp.where(fmask_r, w0_r, w)
+        return w, u, loss, per_bag, winner, member_value
+
+    return jax.vmap(one_relation)(
+        w0, u0, nbr, nbr_mask, member_mask, bag_keep, grad_mask, frozen_mask
+    )
+
+
+def retrain_bags_predictions(
+    graph: HeteroGraph,
+    relation: int,
+    bags: List[List[int]],
+    bag_labels: np.ndarray,
+    cfg: ScorerConfig = ScorerConfig(),
+    rng: Optional[np.random.Generator] = None,
+    x: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One fresh 50-epoch bag-training run on the chosen relation, returning
+    (member values [N], recorded mask [N]) — the extra prediction round the
+    search adds before relabeling (retrain_bags, main.py:814-851: 1 restart,
+    no freezing, fresh label-informed init)."""
+    rng = rng or np.random.default_rng(0)
+    x = np.asarray(graph.x if x is None else x, dtype=np.float32)
+    N, F = x.shape
+    B = len(bags)
+    M = max((len(b) for b in bags), default=1)
+    bags_arr = np.zeros((B, M), dtype=np.int32)
+    member_valid = np.zeros((B, M), dtype=bool)
+    for i, b in enumerate(bags):
+        bags_arr[i, : len(b)] = b
+        member_valid[i, : len(b)] = True
+    bag_labels = np.asarray(bag_labels, dtype=np.float32).reshape(-1)
+
+    member_min_label = np.full(N, np.inf, dtype=np.float32)
+    for i, b in enumerate(bags):
+        for s in b:
+            member_min_label[s] = min(member_min_label[s], bag_labels[i])
+    is_member = np.isfinite(member_min_label)
+
+    nbr, mask = _relation_ell_stack(graph, [relation])
+    has_edge = mask.any(axis=-1)
+    member_mask = member_valid[None] & has_edge[:, bags_arr]
+    bag_keep = member_mask.any(axis=-1).astype(np.float32)
+
+    dsts, mins = dest_min_labels(graph, relation, is_member, member_min_label)
+    w0 = rng.uniform(0.0, 1.0, size=(1, N)).astype(np.float32)
+    if len(dsts):
+        w0[0, dsts] = np.abs(
+            mins + rng.uniform(-cfg.init_noise, cfg.init_noise, len(dsts))
+        )
+    bound = 1.0 / np.sqrt(F)
+    u0 = rng.uniform(-bound, bound, size=(1, F)).astype(np.float32)
+
+    _, _, _, _, _, member_value = _bag_round(
+        jnp.asarray(w0), jnp.asarray(u0), jnp.asarray(nbr), jnp.asarray(mask),
+        jnp.asarray(bags_arr), jnp.asarray(member_mask),
+        jnp.asarray(bag_labels), jnp.asarray(bag_keep),
+        jnp.ones((1, N), jnp.float32), jnp.zeros((1, N), bool),
+        jnp.asarray(x), epochs=cfg.epochs_bags, lr=cfg.lr,
+    )
+    recorded = has_edge[0] & is_member
+    return np.asarray(member_value)[0], recorded
+
+
+def score_relations_bags(
+    graph: HeteroGraph,
+    relations: Sequence[int],
+    bags: List[List[int]],
+    bag_labels: np.ndarray,
+    cfg: ScorerConfig = ScorerConfig(),
+    rng: Optional[np.random.Generator] = None,
+    x: Optional[np.ndarray] = None,
+) -> Dict[int, BagScore]:
+    """Bag sweep with restarts (score_relation_bags_parallel parity,
+    main.py:853-917), all relations vmapped per restart round; the
+    data-dependent restart control flow stays on host."""
+    rng = rng or np.random.default_rng(0)
+    x = np.asarray(graph.x if x is None else x, dtype=np.float32)
+    N, F = x.shape
+    B = len(bags)
+    M = max((len(b) for b in bags), default=1)
+    bags_arr = np.zeros((B, M), dtype=np.int32)
+    member_valid = np.zeros((B, M), dtype=bool)
+    for i, b in enumerate(bags):
+        bags_arr[i, : len(b)] = b
+        member_valid[i, : len(b)] = True
+    bag_labels = np.asarray(bag_labels, dtype=np.float32).reshape(-1)
+
+    # min bag label per member (for destination_bag_dictionary init,
+    # main.py:426-438)
+    member_min_label = np.full(N, np.inf, dtype=np.float32)
+    for i, b in enumerate(bags):
+        for s in b:
+            member_min_label[s] = min(member_min_label[s], bag_labels[i])
+    is_member = np.isfinite(member_min_label)
+
+    results: Dict[int, BagScore] = {}
+    for chunk in _chunks(relations, graph):
+        nbr, mask = _relation_ell_stack(graph, chunk)
+        R = len(chunk)
+        has_edge = mask.any(axis=-1)                      # [R, N]
+        member_mask = member_valid[None] & has_edge[:, bags_arr]  # [R, B, M]
+        bag_keep = member_mask.any(axis=-1).astype(np.float32)    # [R, B]
+
+        # degenerate flag (main.py:876-882) over CLEANED bags
+        kept_counts = bag_keep.sum(axis=1)
+        pos_kept = (bag_keep * (bag_labels[None] > 0.5)).sum(axis=1)
+        degenerate = (kept_counts == 1) | ((kept_counts > 1) & (pos_kept == 0))
+
+        # per-relation init weights from destination bag labels
+        w0 = np.empty((R, N), dtype=np.float32)
+        dest_sets: List[np.ndarray] = []
+        for i, r in enumerate(chunk):
+            dsts, mins = dest_min_labels(graph, r, is_member, member_min_label)
+            dest_sets.append(dsts)
+            w0[i] = rng.uniform(0.0, 1.0, size=N)
+            if len(dsts):
+                w0[i, dsts] = np.abs(
+                    mins + rng.uniform(-cfg.init_noise, cfg.init_noise, len(dsts))
+                )
+        bound = 1.0 / np.sqrt(F)
+        u0 = rng.uniform(-bound, bound, size=(R, F)).astype(np.float32)
+
+        grad_mask = np.ones((R, N), dtype=np.float32)
+        frozen_mask = np.zeros((R, N), dtype=bool)
+        active = np.ones(R, dtype=bool)
+        rest = np.zeros(R, dtype=np.int64)
+        current_loss = np.full(R, 100.0, dtype=np.float32)  # main.py:854
+        member_pred_max = np.full((R, N), -np.inf, dtype=np.float32)
+        member_recorded = np.zeros((R, N), dtype=bool)
+        last_w = w0.copy()
+        last_u = u0.copy()
+        n_restarts = np.zeros(R, dtype=np.int64)
+
+        dev = dict(
+            nbr=jnp.asarray(nbr), nbr_mask=jnp.asarray(mask),
+            bags=jnp.asarray(bags_arr), member_mask=jnp.asarray(member_mask),
+            bag_labels=jnp.asarray(bag_labels), bag_keep=jnp.asarray(bag_keep),
+            x=jnp.asarray(x),
+        )
+
+        for _round in range(cfg.max_restarts):
+            if not active.any():
+                break
+            w, u, loss, per_bag, winner, member_value = _bag_round(
+                jnp.asarray(w0), jnp.asarray(u0), dev["nbr"], dev["nbr_mask"],
+                dev["bags"], dev["member_mask"], dev["bag_labels"],
+                dev["bag_keep"], jnp.asarray(grad_mask),
+                jnp.asarray(frozen_mask), dev["x"],
+                epochs=cfg.epochs_bags, lr=cfg.lr,
+            )
+            w = np.asarray(w); u = np.asarray(u)
+            loss = np.asarray(loss); per_bag = np.asarray(per_bag)
+            winner = np.asarray(winner); member_value = np.asarray(member_value)
+
+            for i in range(R):
+                if not active[i]:
+                    continue
+                n_restarts[i] += 1
+                last_w[i], last_u[i] = w[i], u[i]
+                rec = has_edge[i] & is_member
+                member_recorded[i] |= rec
+                member_pred_max[i][rec] = np.maximum(
+                    member_pred_max[i][rec], member_value[i][rec]
+                )
+                if loss[i] < current_loss[i]:
+                    # freeze winning dsts of near-zero-loss bags (main.py:901)
+                    low = (per_bag[i] < cfg.freeze_loss_threshold) & (
+                        bag_keep[i] > 0.5
+                    )
+                    fset = np.unique(winner[i][low])
+                    frozen_mask[i] = False
+                    frozen_mask[i][fset] = True
+                    current_loss[i] = loss[i]
+                    rest[i] = 0
+                else:
+                    rest[i] += 1
+                # monotone grad-mask accumulation (main.py:909-910)
+                grad_mask[i][frozen_mask[i]] = 0.0
+                # re-init: frozen keep trained values, rest U(0,1)
+                # (main.py:911 with BAGS=False -> U(0,1) branch)
+                w0[i] = rng.uniform(0.0, 1.0, size=N).astype(np.float32)
+                w0[i][frozen_mask[i]] = w[i][frozen_mask[i]]
+                # fresh LinearLayerAttri each restart (get_model, main.py:886)
+                u0[i] = rng.uniform(-bound, bound, size=F).astype(np.float32)
+                if rest[i] >= cfg.max_consecutive_misses:
+                    active[i] = False
+
+        for i, r in enumerate(chunk):
+            results[int(r)] = BagScore(
+                relation=int(r),
+                loss=float(current_loss[i]),
+                degenerate=bool(degenerate[i]),
+                weights=last_w[i],
+                attribution=last_u[i],
+                member_pred_max=member_pred_max[i],
+                member_recorded=member_recorded[i],
+                num_restarts=int(n_restarts[i]),
+            )
+    return results

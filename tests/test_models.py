@@ -1,0 +1,135 @@
+"""Model parity tests: RelConv / fast RGCN / MultiMetapathGNN semantics vs
+independent dense references (SURVEY §4 layer (b): activation parity given
+identical weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpgnn_tpu.models import (
+    fast_rgcn_aggregate,
+    init_mpgnn,
+    init_relconv,
+    mpgnn_forward,
+    relconv_apply,
+)
+from mpgnn_tpu.ops import rel_mean_aggregate
+from mpgnn_tpu.graph.hetero import HeteroGraph
+from mpgnn_tpu.train.loops import build_hop_arrays
+
+
+@pytest.fixture
+def tiny_graph(rng=np.random.default_rng(3)):
+    N, E, R, F = 20, 60, 3, 5
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    rel = rng.integers(0, R, E)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    return HeteroGraph(x, src, dst, rel, num_relations=R)
+
+
+def _dense_relconv_reference(x, src, dst, W, root, bias):
+    """out = mean_r(x) @ W + x @ root + bias with zero rows for edgeless
+    sources — the reference CustomRGCNConv math (mp_rgcn_layer.py:231-268)."""
+    N = x.shape[0]
+    agg = np.zeros_like(x)
+    cnt = np.zeros(N)
+    for s, d in zip(src, dst):
+        agg[s] += x[d]
+        cnt[s] += 1
+    nz = cnt > 0
+    agg[nz] /= cnt[nz, None]
+    return agg @ W + x @ root + bias
+
+
+def test_relconv_matches_dense_reference(tiny_graph):
+    g = tiny_graph
+    params = init_relconv(jax.random.PRNGKey(0), g.feat_dim, 7)
+    for r in range(g.num_relations):
+        src, dst = g.rel_edges(r)
+        agg = rel_mean_aggregate(
+            jnp.asarray(g.x), jnp.asarray(src), jnp.asarray(dst), g.num_nodes
+        )
+        got = np.asarray(relconv_apply(params, jnp.asarray(g.x), agg))
+        want = _dense_relconv_reference(
+            g.x, src, dst,
+            np.asarray(params.weight), np.asarray(params.root),
+            np.asarray(params.bias),
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fast_rgcn_matches_per_relation_sum(tiny_graph):
+    """CustomFastRGCNConv aggregation == sum over relations of per-relation
+    mean @ W_r (typed-degree normalization, mp_rgcn_layer.py:346-357)."""
+    g = tiny_graph
+    R, F, H = g.num_relations, g.feat_dim, 4
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(R, F, H)).astype(np.float32)
+    got = np.asarray(
+        fast_rgcn_aggregate(
+            jnp.asarray(g.x), jnp.asarray(W),
+            jnp.asarray(g.sorted_src), jnp.asarray(g.sorted_dst),
+            jnp.asarray(g.sorted_type), g.num_nodes,
+        )
+    )
+    want = np.zeros((g.num_nodes, H))
+    for r in range(R):
+        src, dst = g.rel_edges(r)
+        agg = np.zeros((g.num_nodes, F))
+        cnt = np.zeros(g.num_nodes)
+        for s, d in zip(src, dst):
+            agg[s] += g.x[d]
+            cnt[s] += 1
+        nz = cnt > 0
+        agg[nz] /= cnt[nz, None]
+        want += agg @ W[r]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mpgnn_forward_reference_math(tiny_graph):
+    """Full MPNetm forward vs a dense numpy re-execution with the same
+    parameters (model.py:203-228 semantics: per-hop ReLU, concat, fc1-ReLU,
+    fc2, log_softmax; eval mode = no dropout)."""
+    g = tiny_graph
+    metapaths = [[0, 1], [2, 0]]
+    params = init_mpgnn(jax.random.PRNGKey(1), g.feat_dim, 6, 2, metapaths)
+    hs, hd, hm = build_hop_arrays(g, metapaths, pad_multiple=8)
+    got = np.asarray(
+        mpgnn_forward(params, jnp.asarray(g.x), hs, hd, hm, train=False)
+    )
+
+    embs = []
+    for i, mp in enumerate(metapaths):
+        h = g.x.astype(np.float64)
+        for j, r in enumerate(mp):
+            src, dst = g.rel_edges(r)
+            conv = params.convs[i][j]
+            h = _dense_relconv_reference(
+                h, src, dst,
+                np.asarray(conv.weight), np.asarray(conv.root),
+                np.asarray(conv.bias),
+            )
+            h = np.maximum(h, 0)
+        embs.append(h)
+    cat = np.concatenate(embs, axis=1)
+    h = np.maximum(cat @ np.asarray(params.fc1.w) + np.asarray(params.fc1.b), 0)
+    h = h @ np.asarray(params.fc2.w) + np.asarray(params.fc2.b)
+    logp = h - np.log(np.exp(h).sum(axis=1, keepdims=True))
+    np.testing.assert_allclose(got, logp, rtol=1e-4, atol=1e-4)
+
+
+def test_mpgnn_dropout_only_in_train_mode(tiny_graph):
+    g = tiny_graph
+    metapaths = [[0]]
+    params = init_mpgnn(jax.random.PRNGKey(1), g.feat_dim, 6, 2, metapaths)
+    hs, hd, hm = build_hop_arrays(g, metapaths, pad_multiple=8)
+    a = mpgnn_forward(params, jnp.asarray(g.x), hs, hd, hm, train=False)
+    b = mpgnn_forward(params, jnp.asarray(g.x), hs, hd, hm, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = mpgnn_forward(
+        params, jnp.asarray(g.x), hs, hd, hm, train=True,
+        dropout_rng=jax.random.PRNGKey(5),
+    )
+    assert not np.allclose(np.asarray(a), np.asarray(c))
