@@ -11,6 +11,7 @@ from mpgnn_tpu.graph.io import (
     mask_label_leak,
 )
 from mpgnn_tpu.graph.generate import generate_synthetic_graph
+from mpgnn_tpu.graph.gtn import export_gtn
 
 __all__ = [
     "HeteroGraph",
@@ -24,4 +25,5 @@ __all__ = [
     "split_nodes",
     "mask_label_leak",
     "generate_synthetic_graph",
+    "export_gtn",
 ]

@@ -149,6 +149,20 @@ class HeteroGraph:
         """Relations with at least one edge (== torch.unique(edge_type))."""
         return [r for r in range(self.num_relations) if self.rel_counts[r] > 0]
 
+    def rel_edges_csr(self, relation: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(src, dst) of one relation with src sorted ascending (stable, so
+        each source's neighbor order stays file order). Aggregation is
+        permutation-invariant, and sorted segment ids let XLA lower
+        segment_sum to its fast sorted-scatter path on TPU."""
+        key = ("csr", int(relation))
+        if key in self._nbr_cache:
+            return self._nbr_cache[key]
+        src, dst = self.rel_edges(relation)
+        order = np.argsort(src, kind="stable")
+        out = (src[order], dst[order])
+        self._nbr_cache[key] = out
+        return out
+
     # ------------------------------------------------------- padded batches
     def relation_batch(
         self,

@@ -71,12 +71,35 @@ def init_mpgnn(
     return MPGNNParams(convs=tuple(convs), fc1=fc1, fc2=fc2)
 
 
+def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
+    """Apply one hop's relation-masked mean aggregation.
+
+    ``op`` is a tagged tuple produced by train.loops.build_hop_arrays:
+      ('segment', src, dst, mask)  — sorted segment-mean (general)
+      ('ell', nbr, nbr_mask)       — padded neighbor-table gather
+      ('dense', adj)               — normalized adjacency GEMM (MXU path)
+    All three compute the same mean (zero rows for edgeless sources)."""
+    kind = op[0]
+    if kind == "segment":
+        _, src, dst, mask = op
+        return rel_mean_aggregate(
+            h, src, dst, num_nodes, mask, indices_are_sorted=True
+        )
+    if kind == "ell":
+        from mpgnn_tpu.ops.spmm import ell_mean_aggregate
+
+        _, nbr, nbr_mask = op
+        return ell_mean_aggregate(h, nbr, nbr_mask)
+    if kind == "dense":
+        _, adj = op
+        return jnp.dot(adj, h, preferred_element_type=h.dtype)
+    raise ValueError(f"unknown hop op {kind!r}")
+
+
 def mpgnn_forward(
     params: MPGNNParams,
     x: jax.Array,
-    hop_src: Sequence[Sequence[jax.Array]],   # [metapath][hop] -> [E_pad]
-    hop_dst: Sequence[Sequence[jax.Array]],
-    hop_mask: Sequence[Sequence[jax.Array]],
+    hop_ops: Sequence[Sequence[Tuple]],   # [metapath][hop] tagged agg inputs
     *,
     dropout_rate: float = 0.6,
     dropout_rng: jax.Array | None = None,
@@ -84,17 +107,16 @@ def mpgnn_forward(
 ) -> jax.Array:
     """Forward pass (parity: MPNetm.forward, model.py:203-228).
 
-    Each (metapath, hop) has its relation's padded edge arrays. Dropout is
-    applied after every hop's ReLU during training (model.py:210-214)."""
+    Each (metapath, hop) carries its relation's aggregation operand (see
+    ``hop_aggregate``). Dropout is applied after every hop's ReLU during
+    training (model.py:210-214)."""
     num_nodes = x.shape[0]
     embeddings = []
     drop_i = 0
     for i, stack in enumerate(params.convs):
         h = x
         for j, conv in enumerate(stack):
-            agg = rel_mean_aggregate(
-                h, hop_src[i][j], hop_dst[i][j], num_nodes, hop_mask[i][j]
-            )
+            agg = hop_aggregate(h, hop_ops[i][j], num_nodes)
             h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
             if train and dropout_rate > 0.0:
                 key = jax.random.fold_in(dropout_rng, drop_i)

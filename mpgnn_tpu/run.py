@@ -1,0 +1,138 @@
+"""Main CLI — full metapath search over a dataset.
+
+Parity target: reference ``main.py`` argparse + ``main(args)``
+(main.py:1191-1508) and ``run.sh``. Where the reference needs
+``mpiexec -n 10 python main.py ...`` this is a single process driving one
+TPU (or a slice via jax.distributed):
+
+    python -m mpgnn_tpu.run --hidden_dim 64 --dataset synthetic \
+        --folder data/synthetic/metapath_length_3/overlap_0rels_0/ \
+        --node_file node.dat --link_file link.dat --label_file label.dat
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    # flag set mirrors main.py:1489-1506
+    p = argparse.ArgumentParser(description="learning meta-paths (TPU-native)")
+    p.add_argument("--hidden_dim", type=int, required=True, help="hidden dimension")
+    p.add_argument("--dataset", type=str, required=True,
+                   help="synthetic | fb15k-237 | DBLP | IMDB | ACM")
+    p.add_argument("--folder", type=str, required=True, help="dataset folder")
+    p.add_argument("--node_file", type=str, required=True)
+    p.add_argument("--link_file", type=str, required=True)
+    p.add_argument("--label_file", type=str, required=True)
+    p.add_argument("--relations_legend_file", type=str, required=False)
+    p.add_argument("--pickle_filename", type=str, required=False,
+                   help="search-state checkpoint path (resume supported)")
+    # framework extensions (named config instead of hard-coded constants)
+    p.add_argument("--epochs", type=int, default=1000, help="MPGNN eval epochs")
+    p.add_argument("--max_hops", type=int, default=3, help="extension hops")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", type=str, default="segment",
+                   choices=["segment", "ell", "dense"])
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu)")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(message)s",
+        stream=sys.stderr,
+    )
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from mpgnn_tpu.config import MPGNNConfig, SearchConfig
+    from mpgnn_tpu.graph.io import (
+        load_dat_files,
+        load_fb15k237,
+        mask_label_leak,
+        split_nodes,
+    )
+    from mpgnn_tpu.search import find_metapaths
+    from mpgnn_tpu.utils.checkpoint import SearchCheckpoint
+
+    t_start = time.time()
+    folder = args.folder.rstrip("/") + "/"
+    node_f = folder + args.node_file
+    link_f = folder + args.link_file
+    label_f = folder + args.label_file
+
+    source_nodes = None
+    if args.dataset == "fb15k-237":
+        graph, labels, binary_labels, source_nodes = load_fb15k237(
+            node_f, link_f, label_f
+        )
+    else:
+        graph, labels, binary_labels = load_dat_files(node_f, link_f, label_f)
+
+    cfg = SearchConfig(
+        max_extension_hops=args.max_hops,
+        mpgnn=MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim),
+    )
+
+    ckpt = SearchCheckpoint(args.pickle_filename) if args.pickle_filename else None
+
+    results = {}
+    for list_index, binary_lab in enumerate(binary_labels):
+        # per-class split + optional label-leak masking (main.py:1214-1240)
+        split = split_nodes(labels, node_idx=source_nodes, seed=cfg.split_seed)
+        x = graph.x
+        if args.dataset == "fb15k-237":
+            x = mask_label_leak(graph.x, split)
+        num_classes = int(len(np.unique(labels)))
+
+        if ckpt and ckpt.has(list_index):
+            results[list_index] = ckpt.load(list_index)
+            logging.info("class %d restored from checkpoint", list_index)
+            continue
+
+        res = find_metapaths(
+            graph,
+            np.asarray(binary_lab, dtype=np.float32),
+            split,
+            num_classes=num_classes,
+            config=cfg,
+            dataset=args.dataset,
+            source_nodes=source_nodes,
+            x_features=x,
+            seed=args.seed,
+        )
+        results[list_index] = res
+        if ckpt:
+            ckpt.save(list_index, res)
+        print(
+            f"class {list_index}: final meta: {res.metapaths} "
+            f"test acc: {res.test_f1:.4f}",
+            flush=True,
+        )
+
+    summary = {
+        "dataset": args.dataset,
+        "classes": {
+            str(k): {"metapaths": v.metapaths, "test_f1": v.test_f1}
+            for k, v in results.items()
+        },
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(summary), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

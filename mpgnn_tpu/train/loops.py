@@ -26,6 +26,7 @@ import optax
 from mpgnn_tpu.config import MPGNNConfig
 from mpgnn_tpu.graph.hetero import HeteroGraph, NodeSplit
 from mpgnn_tpu.models.mpgnn import MPGNNParams, init_mpgnn, mpgnn_forward
+from mpgnn_tpu.ops.spmm import dense_adjacency
 from mpgnn_tpu.train.metrics import macro_f1
 
 
@@ -37,31 +38,48 @@ def build_hop_arrays(
     graph: HeteroGraph,
     metapaths: Sequence[Sequence[int]],
     pad_multiple: int = 128,
+    backend: str = "segment",
 ):
-    """Per-(metapath, hop) padded edge arrays for the relations on the path.
+    """Per-(metapath, hop) aggregation operands for the relations on a path,
+    as tagged tuples consumed by models.mpgnn.hop_aggregate.
 
-    Padding to a multiple keeps compile-cache hits high across candidates
-    with similar relation sizes. Shapes are static per jit trace."""
-    hop_src: List[List[jnp.ndarray]] = []
-    hop_dst: List[List[jnp.ndarray]] = []
-    hop_mask: List[List[jnp.ndarray]] = []
+    Backends (same math, different TPU mappings):
+      * 'segment' — src-sorted padded edge arrays -> sorted segment-mean.
+      * 'ell'     — padded neighbor tables -> dense gather + masked mean.
+      * 'dense'   — precomputed row-normalized adjacency -> one MXU GEMM
+                    per hop; fastest whenever A_r fits HBM. Adjacencies are
+                    cached per relation and shared across hops/candidates.
+    """
+    hop_ops: List[List[tuple]] = []
+    dense_cache: dict = getattr(graph, "_dense_cache", None) or {}
+    graph._dense_cache = dense_cache
     for mp in metapaths:
-        ss, dd, mm = [], [], []
+        ops = []
         for rel in mp:
-            s, d = graph.rel_edges(int(rel))
-            n = len(s)
-            e_pad = _round_up(n, pad_multiple)
-            sp = np.zeros(e_pad, dtype=np.int32)
-            dp = np.zeros(e_pad, dtype=np.int32)
-            mk = np.zeros(e_pad, dtype=bool)
-            sp[:n], dp[:n], mk[:n] = s, d, True
-            ss.append(jnp.asarray(sp))
-            dd.append(jnp.asarray(dp))
-            mm.append(jnp.asarray(mk))
-        hop_src.append(ss)
-        hop_dst.append(dd)
-        hop_mask.append(mm)
-    return hop_src, hop_dst, hop_mask
+            rel = int(rel)
+            if backend == "segment":
+                s, d = graph.rel_edges_csr(rel)
+                n = len(s)
+                e_pad = _round_up(n, pad_multiple)
+                sp = np.full(e_pad, graph.num_nodes - 1, dtype=np.int32)
+                dp = np.zeros(e_pad, dtype=np.int32)
+                mk = np.zeros(e_pad, dtype=bool)
+                sp[:n], dp[:n], mk[:n] = s, d, True
+                ops.append(
+                    ("segment", jnp.asarray(sp), jnp.asarray(dp), jnp.asarray(mk))
+                )
+            elif backend == "ell":
+                nbr, mask = graph.neighbor_table(rel)
+                ops.append(("ell", jnp.asarray(nbr), jnp.asarray(mask)))
+            elif backend == "dense":
+                if rel not in dense_cache:
+                    s, d = graph.rel_edges(rel)
+                    dense_cache[rel] = dense_adjacency(s, d, graph.num_nodes)
+                ops.append(("dense", dense_cache[rel]))
+            else:
+                raise ValueError(f"unknown backend {backend!r}")
+        hop_ops.append(ops)
+    return hop_ops
 
 
 @dataclasses.dataclass
@@ -91,6 +109,7 @@ def train_mpgnn(
     seed: int = 0,
     track_best: bool = False,
     x_override: Optional[np.ndarray] = None,
+    backend: str = "segment",
 ) -> MPGNNTrainResult:
     """Train an MPGNN on the given metapath set; full-graph, jitted scan.
 
@@ -100,7 +119,7 @@ def train_mpgnn(
     cfg = cfg or MPGNNConfig()
     metapaths = [list(mp) for mp in metapaths]
     x = jnp.asarray(x_override if x_override is not None else graph.x)
-    hop_src, hop_dst, hop_mask = build_hop_arrays(graph, metapaths)
+    hop_ops = build_hop_arrays(graph, metapaths, backend=backend)
 
     train_idx = jnp.asarray(split.train_idx)
     train_y = jnp.asarray(split.train_y)
@@ -118,7 +137,7 @@ def train_mpgnn(
 
     def loss_fn(params, rng):
         out = mpgnn_forward(
-            params, x, hop_src, hop_dst, hop_mask,
+            params, x, hop_ops,
             dropout_rate=cfg.dropout, dropout_rng=rng, train=True,
         )
         logp = out[train_idx]
@@ -126,7 +145,7 @@ def train_mpgnn(
         return nll
 
     def eval_metrics(params):
-        out = mpgnn_forward(params, x, hop_src, hop_dst, hop_mask, train=False)
+        out = mpgnn_forward(params, x, hop_ops, train=False)
         preds = jnp.argmax(out, axis=1)
         return (
             macro_f1(preds[train_idx], train_y, num_classes),
@@ -180,8 +199,8 @@ def evaluate_mpgnn(
     x_override: Optional[np.ndarray] = None,
 ) -> Tuple[float, np.ndarray]:
     x = jnp.asarray(x_override if x_override is not None else graph.x)
-    hop_src, hop_dst, hop_mask = build_hop_arrays(graph, [list(m) for m in metapaths])
-    out = mpgnn_forward(params, x, hop_src, hop_dst, hop_mask, train=False)
+    hop_ops = build_hop_arrays(graph, [list(m) for m in metapaths])
+    out = mpgnn_forward(params, x, hop_ops, train=False)
     preds = jnp.argmax(out, axis=1)
     f1 = macro_f1(preds[jnp.asarray(idx)], jnp.asarray(y), num_classes)
     return float(f1), np.asarray(preds)

@@ -1,1 +1,12 @@
-"""Config, checkpointing, profiling utilities."""
+"""Checkpointing, profiling, and misc utilities."""
+
+from mpgnn_tpu.utils.checkpoint import SearchCheckpoint, save_params, restore_params
+from mpgnn_tpu.utils.prof import PhaseTimer, device_trace
+
+__all__ = [
+    "SearchCheckpoint",
+    "save_params",
+    "restore_params",
+    "PhaseTimer",
+    "device_trace",
+]

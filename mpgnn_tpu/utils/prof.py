@@ -1,0 +1,55 @@
+"""Profiling and phase-timing utilities.
+
+The reference's only observability is tqdm bars and prints (SURVEY §5).
+Here: structured per-phase wall timings plus optional jax.profiler traces
+viewable in TensorBoard/Perfetto.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, Optional
+
+
+class PhaseTimer:
+    """Accumulates wall time per named phase."""
+
+    def __init__(self) -> None:
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {
+            k: {"total_s": round(v, 3), "count": self.counts[k]}
+            for k, v in sorted(self.totals.items(), key=lambda kv: -kv[1])
+        }
+
+    def dump(self) -> str:
+        return json.dumps(self.summary())
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str]) -> Iterator[None]:
+    """jax.profiler trace context; no-op when log_dir is None."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -95,9 +95,9 @@ def test_mpgnn_forward_reference_math(tiny_graph):
     g = tiny_graph
     metapaths = [[0, 1], [2, 0]]
     params = init_mpgnn(jax.random.PRNGKey(1), g.feat_dim, 6, 2, metapaths)
-    hs, hd, hm = build_hop_arrays(g, metapaths, pad_multiple=8)
+    ops = build_hop_arrays(g, metapaths, pad_multiple=8)
     got = np.asarray(
-        mpgnn_forward(params, jnp.asarray(g.x), hs, hd, hm, train=False)
+        mpgnn_forward(params, jnp.asarray(g.x), ops, train=False)
     )
 
     embs = []
@@ -124,12 +124,30 @@ def test_mpgnn_dropout_only_in_train_mode(tiny_graph):
     g = tiny_graph
     metapaths = [[0]]
     params = init_mpgnn(jax.random.PRNGKey(1), g.feat_dim, 6, 2, metapaths)
-    hs, hd, hm = build_hop_arrays(g, metapaths, pad_multiple=8)
-    a = mpgnn_forward(params, jnp.asarray(g.x), hs, hd, hm, train=False)
-    b = mpgnn_forward(params, jnp.asarray(g.x), hs, hd, hm, train=False)
+    ops = build_hop_arrays(g, metapaths, pad_multiple=8)
+    a = mpgnn_forward(params, jnp.asarray(g.x), ops, train=False)
+    b = mpgnn_forward(params, jnp.asarray(g.x), ops, train=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c = mpgnn_forward(
-        params, jnp.asarray(g.x), hs, hd, hm, train=True,
+        params, jnp.asarray(g.x), ops, train=True,
         dropout_rng=jax.random.PRNGKey(5),
     )
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_mpgnn_backends_agree(tiny_graph):
+    """segment / ell / dense aggregation backends produce identical
+    forward activations."""
+    from mpgnn_tpu.train.loops import build_hop_arrays as bha
+
+    g = tiny_graph
+    metapaths = [[0, 2]]
+    params = init_mpgnn(jax.random.PRNGKey(2), g.feat_dim, 6, 2, metapaths)
+    outs = []
+    for backend in ("segment", "ell", "dense"):
+        ops = bha(g, metapaths, pad_multiple=8, backend=backend)
+        outs.append(
+            np.asarray(mpgnn_forward(params, jnp.asarray(g.x), ops, train=False))
+        )
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-4, atol=1e-4)

@@ -1,0 +1,40 @@
+"""Search integration test (SURVEY §4 layer c): the full search must recover
+the planted metapath on a generated synthetic graph — the reference's
+scientific validation criterion (metapath.dat recovery)."""
+
+import numpy as np
+import pytest
+
+from mpgnn_tpu.config import MPGNNConfig, ScorerConfig, SearchConfig
+from mpgnn_tpu.graph.generate import generate_synthetic_graph
+from mpgnn_tpu.graph.hetero import HeteroGraph
+from mpgnn_tpu.graph.io import split_nodes
+from mpgnn_tpu.search import find_metapaths
+
+
+@pytest.mark.slow
+def test_search_recovers_planted_metapath():
+    g = generate_synthetic_graph(
+        1200, 4, "red-red-blue", overlap=0, shared_relations=0, seed=11
+    )
+    planted = g["metapath_relations"]
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=4, labels=g["labels"],
+    )
+    split = split_nodes(g["labels"])
+    cfg = SearchConfig(
+        mpgnn=MPGNNConfig(epochs=120, hidden_dim=32),
+        scorer=ScorerConfig(max_restarts=6),
+        max_extension_hops=2,
+    )
+    res = find_metapaths(
+        graph, g["labels"].astype(np.float32), split, num_classes=2,
+        config=cfg, dataset="synthetic", seed=0,
+    )
+    assert planted in res.discovered
+    # the planted metapath must rank at the top on validation F1
+    best_path = max(res.val_f1_by_path.items(), key=lambda kv: kv[1])[0]
+    assert res.val_f1_by_path[str(planted)] >= 0.95
+    assert res.test_f1 >= 0.9
+    assert planted in res.metapaths or res.val_f1_by_path[best_path] >= 0.99
