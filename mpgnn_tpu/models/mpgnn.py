@@ -77,7 +77,8 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
     ``op`` is a tagged tuple produced by train.loops.build_hop_arrays:
       ('segment', src, dst, mask)  — sorted segment-mean (general)
       ('ell', nbr, nbr_mask)       — padded neighbor-table gather
-      ('dense', adj)               — normalized adjacency GEMM (MXU path)
+      ('dense', adj, adj_t)        — normalized adjacency GEMM (MXU path;
+                                     transpose precomputed for the VJP)
     All three compute the same mean (zero rows for edgeless sources)."""
     kind = op[0]
     if kind == "segment":
@@ -91,8 +92,10 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
         _, nbr, nbr_mask = op
         return ell_mean_aggregate(h, nbr, nbr_mask)
     if kind == "dense":
-        _, adj = op
-        return jnp.dot(adj, h, preferred_element_type=h.dtype)
+        from mpgnn_tpu.ops.spmm import dense_mean_aggregate
+
+        _, adj, adj_t = op
+        return dense_mean_aggregate(adj, adj_t, h)
     raise ValueError(f"unknown hop op {kind!r}")
 
 

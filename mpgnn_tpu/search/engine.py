@@ -72,6 +72,7 @@ def find_metapaths(
     source_nodes: Optional[Sequence[int]] = None,
     x_features: Optional[np.ndarray] = None,
     seed: int = 0,
+    batched_eval: bool = True,
 ) -> SearchResult:
     """Run the full metapath search for one binary label vector.
 
@@ -206,17 +207,31 @@ def find_metapaths(
             break
 
     # --------------------------------------------------------- final eval
-    val_by_path: Dict[str, float] = {}
-    for path in final_paths:
-        t0 = time.time()
-        res = train_mpgnn(
-            graph, [path], split, num_classes, cfg.mpgnn,
+    # All same-length candidates train simultaneously (vmap over the
+    # candidate axis) — the TPU replacement for the reference's final MPI
+    # fan-out (main.py:1444-1459).
+    t0 = time.time()
+    if batched_eval:
+        from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+        val_by_path = evaluate_candidates(
+            graph, final_paths, split, num_classes, cfg.mpgnn,
             seed=seed, x_override=x,
         )
-        val_by_path[str(path)] = res.val_f1
-        log.info(
-            "eval %s: val F1 %.4f (%.1fs)", path, res.val_f1, time.time() - t0
-        )
+        for path_s, f1 in val_by_path.items():
+            log.info("eval %s: val F1 %.4f", path_s, f1)
+    else:
+        val_by_path = {}
+        for path in final_paths:
+            res = train_mpgnn(
+                graph, [path], split, num_classes, cfg.mpgnn,
+                seed=seed, x_override=x,
+            )
+            val_by_path[str(path)] = res.val_f1
+            log.info("eval %s: val F1 %.4f", path, res.val_f1)
+    log.info(
+        "final eval of %d candidates: %.1fs", len(final_paths), time.time() - t0
+    )
 
     ranked = sorted(val_by_path.items(), key=lambda kv: kv[1], reverse=True)
     top = [eval(k) for k, _ in ranked[: cfg.top_k_final]]

@@ -75,7 +75,8 @@ def build_hop_arrays(
                 if rel not in dense_cache:
                     s, d = graph.rel_edges(rel)
                     dense_cache[rel] = dense_adjacency(s, d, graph.num_nodes)
-                ops.append(("dense", dense_cache[rel]))
+                adj, adj_t = dense_cache[rel]
+                ops.append(("dense", adj, adj_t))
             else:
                 raise ValueError(f"unknown backend {backend!r}")
         hop_ops.append(ops)
@@ -120,6 +121,18 @@ def train_mpgnn(
     metapaths = [list(mp) for mp in metapaths]
     x = jnp.asarray(x_override if x_override is not None else graph.x)
     hop_ops = build_hop_arrays(graph, metapaths, backend=backend)
+    # Split tagged ops into a static kind structure + a dynamic array pytree:
+    # large operands (e.g. dense adjacencies) must enter jit as ARGUMENTS,
+    # not closure constants — embedded constants bloat the serialized HLO
+    # (and break remote-compile payload limits).
+    hop_kinds = [[op[0] for op in ops] for ops in hop_ops]
+    hop_data = [[tuple(op[1:]) for op in ops] for ops in hop_ops]
+
+    def retag(data):
+        return [
+            [(hop_kinds[i][j],) + tuple(d) for j, d in enumerate(row)]
+            for i, row in enumerate(data)
+        ]
 
     train_idx = jnp.asarray(split.train_idx)
     train_y = jnp.asarray(split.train_y)
@@ -135,17 +148,17 @@ def train_mpgnn(
     )
     tx = make_optimizer(cfg)
 
-    def loss_fn(params, rng):
+    def loss_fn(params, rng, ops):
         out = mpgnn_forward(
-            params, x, hop_ops,
+            params, x, ops,
             dropout_rate=cfg.dropout, dropout_rng=rng, train=True,
         )
         logp = out[train_idx]
         nll = -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], axis=1))
         return nll
 
-    def eval_metrics(params):
-        out = mpgnn_forward(params, x, hop_ops, train=False)
+    def eval_metrics(params, ops):
+        out = mpgnn_forward(params, x, ops, train=False)
         preds = jnp.argmax(out, axis=1)
         return (
             macro_f1(preds[train_idx], train_y, num_classes),
@@ -153,33 +166,35 @@ def train_mpgnn(
             macro_f1(preds[test_idx], test_y, num_classes),
         )
 
-    def epoch_step(carry, epoch):
-        params, opt_state, best_val, best_params = carry
-        rng = jax.random.fold_in(drop_key, epoch)
-        loss, grads = jax.value_and_grad(loss_fn)(params, rng)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        if track_best:
-            _, val_f1, _ = eval_metrics(params)
-            better = val_f1 > best_val
-            best_val = jnp.where(better, val_f1, best_val)
-            best_params = jax.tree_util.tree_map(
-                lambda b, p: jnp.where(better, p, b), best_params, params
-            )
-        return (params, opt_state, best_val, best_params), loss
-
     @jax.jit
-    def run(params0):
+    def run(params0, hop_data):
+        ops = retag(hop_data)
+
+        def epoch_step(carry, epoch):
+            params, opt_state, best_val, best_params = carry
+            rng = jax.random.fold_in(drop_key, epoch)
+            loss, grads = jax.value_and_grad(loss_fn)(params, rng, ops)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if track_best:
+                _, val_f1, _ = eval_metrics(params, ops)
+                better = val_f1 > best_val
+                best_val = jnp.where(better, val_f1, best_val)
+                best_params = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(better, p, b), best_params, params
+                )
+            return (params, opt_state, best_val, best_params), loss
+
         opt_state = tx.init(params0)
         carry0 = (params0, opt_state, jnp.asarray(0.0), params0)
         (params, _, best_val, best_params), losses = jax.lax.scan(
             epoch_step, carry0, jnp.arange(cfg.epochs)
         )
         eval_params = best_params if track_best else params
-        train_f1, val_f1, test_f1 = eval_metrics(eval_params)
+        train_f1, val_f1, test_f1 = eval_metrics(eval_params, ops)
         return eval_params, train_f1, val_f1, test_f1, losses[-1]
 
-    params, train_f1, val_f1, test_f1, last_loss = run(params0)
+    params, train_f1, val_f1, test_f1, last_loss = run(params0, hop_data)
     return MPGNNTrainResult(
         params=params,
         val_f1=float(val_f1),

@@ -91,8 +91,9 @@ def test_rel_mean_aggregate_equals_ell_and_dense(rng):
         cur[s] += 1
     ell = np.asarray(ell_mean_aggregate(jnp.asarray(x), jnp.asarray(nbr), jnp.asarray(m)))
 
-    adj = dense_adjacency(src, dst, N)
+    adj, adj_t = dense_adjacency(src, dst, N)
     den = np.asarray(adj @ jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(adj_t), np.asarray(adj).T)
 
     want = dense_mean_reference(x, src, dst, N)
     np.testing.assert_allclose(seg, want, rtol=1e-5, atol=1e-6)
