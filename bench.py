@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-EPOCHS_TPU = 400
+EPOCHS_TPU = 1000  # the reference trains 1000 epochs per candidate (main.py:1121)
 EPOCHS_TORCH = 12
 HIDDEN = 64
 METAPATH = [1, 0]
@@ -42,32 +42,88 @@ def build_graph():
 
 
 def bench_jax(graph, labels):
+    """Steady-state training throughput: the full EPOCHS_TPU-epoch jitted
+    training program (forward + backward + Adam + weight decay + dropout,
+    identical to the reference's per-candidate training loop), timed on its
+    second invocation so one-time compile and host->device transfer latency
+    (large and variable over the TPU tunnel) are excluded — matching how the
+    program runs inside the search (compiled once, invoked per candidate)."""
     import jax
+    import jax.numpy as jnp
+    import optax
 
     from mpgnn_tpu.config import MPGNNConfig
     from mpgnn_tpu.graph.io import split_nodes
-    from mpgnn_tpu.train.loops import train_mpgnn
+    from mpgnn_tpu.models.mpgnn import init_mpgnn, mpgnn_forward
+    from mpgnn_tpu.train.loops import build_hop_arrays, make_optimizer
 
     split = split_nodes(labels)
     cfg = MPGNNConfig(epochs=EPOCHS_TPU, hidden_dim=HIDDEN)
     edges_per_epoch = sum(int(graph.rel_counts[r]) for r in METAPATH)
+    x = jnp.asarray(graph.x)
+    train_idx = jnp.asarray(split.train_idx)
+    train_y = jnp.asarray(split.train_y)
+    params0 = init_mpgnn(
+        jax.random.PRNGKey(0), graph.feat_dim, HIDDEN, 2, [METAPATH]
+    )
+    tx = make_optimizer(cfg)
+    drop_key = jax.random.PRNGKey(1)
+
     best = (0.0, None)
-    for backend in ("segment", "ell", "dense"):
+    for backend in ("segment", "ell", "dense", "pallas"):
+        hop_ops = build_hop_arrays(graph, [METAPATH], backend=backend)
+        # large operands (dense adjacencies) must be jit ARGUMENTS, not
+        # closure constants (remote-compile payload limits); pallas blockings
+        # carry static metadata and stay closure-side
+        kinds = [[op if op[0] == "pallas" else op[0] for op in ops]
+                 for ops in hop_ops]
+        data = [[() if op[0] == "pallas" else tuple(op[1:]) for op in ops]
+                for ops in hop_ops]
+
+        def retag(d):
+            return [
+                [k if isinstance(k, tuple) else (k,) + tuple(dd)
+                 for k, dd in zip(krow, drow)]
+                for krow, drow in zip(kinds, d)
+            ]
+
+        def loss_fn(p, rng, ops):
+            out = mpgnn_forward(
+                p, x, ops, dropout_rate=cfg.dropout,
+                dropout_rng=rng, train=True,
+            )
+            logp = out[train_idx]
+            return -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], 1))
+
+        @jax.jit
+        def run(p, d):
+            ops = retag(d)
+
+            def epoch(carry, e):
+                p, st = carry
+                loss, g = jax.value_and_grad(loss_fn)(
+                    p, jax.random.fold_in(drop_key, e), ops
+                )
+                upd, st = tx.update(g, st, p)
+                return (optax.apply_updates(p, upd), st), loss
+
+            (p, _), losses = jax.lax.scan(
+                epoch, (p, tx.init(p)), jnp.arange(cfg.epochs)
+            )
+            return p, losses[-1]
+
         t0 = time.time()
-        train_mpgnn(
-            graph, [METAPATH], split, 2,
-            MPGNNConfig(epochs=2, hidden_dim=HIDDEN), backend=backend,
-        )
-        log(f"[{backend}] warmup+compile: {time.time()-t0:.1f}s on {jax.devices()[0]}")
+        p, l = run(params0, data)
+        jax.block_until_ready(l)
+        log(f"[{backend}] compile+first run: {time.time()-t0:.1f}s "
+            f"on {jax.devices()[0]} (loss {float(l):.4f})")
         t0 = time.time()
-        res = train_mpgnn(graph, [METAPATH], split, 2, cfg, backend=backend)
+        p, l = run(params0, data)
+        jax.block_until_ready(l)
         dt = time.time() - t0
         eps = EPOCHS_TPU * edges_per_epoch / dt
-        log(
-            f"[{backend}] {EPOCHS_TPU} epochs in {dt:.2f}s -> "
-            f"{eps/1e6:.2f}M edges/s (val F1 {res.val_f1:.3f} "
-            f"test F1 {res.test_f1:.3f})"
-        )
+        log(f"[{backend}] {EPOCHS_TPU} epochs in {dt:.3f}s -> "
+            f"{eps/1e6:.2f}M edges/s")
         if eps > best[0]:
             best = (eps, backend)
     log(f"best backend: {best[1]}")
@@ -149,6 +205,9 @@ def bench_torch(graph, labels):
 
 
 def main():
+    from mpgnn_tpu.utils.prof import enable_compilation_cache
+
+    enable_compilation_cache()
     graph, labels = build_graph()
     log(f"graph: {graph}")
     eps_jax = bench_jax(graph, labels)

@@ -96,6 +96,11 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
 
         _, adj, adj_t = op
         return dense_mean_aggregate(adj, adj_t, h)
+    if kind == "pallas":
+        from mpgnn_tpu.ops.pallas_spmm import pallas_spmm_mean
+
+        _, fwd, bwd, interpret = op
+        return pallas_spmm_mean(fwd, bwd, interpret, h)
     raise ValueError(f"unknown hop op {kind!r}")
 
 

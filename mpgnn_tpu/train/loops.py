@@ -77,6 +77,16 @@ def build_hop_arrays(
                     dense_cache[rel] = dense_adjacency(s, d, graph.num_nodes)
                 adj, adj_t = dense_cache[rel]
                 ops.append(("dense", adj, adj_t))
+            elif backend == "pallas":
+                from mpgnn_tpu.ops.pallas_spmm import build_spmm_blocking
+
+                key = ("pallas", rel)
+                if key not in dense_cache:
+                    s, d = graph.rel_edges(rel)
+                    dense_cache[key] = build_spmm_blocking(s, d, graph.num_nodes)
+                fwd, bwd = dense_cache[key]
+                interp = jax.devices()[0].platform not in ("tpu",)
+                ops.append(("pallas", fwd, bwd, interp))
             else:
                 raise ValueError(f"unknown backend {backend!r}")
         hop_ops.append(ops)
@@ -125,12 +135,24 @@ def train_mpgnn(
     # large operands (e.g. dense adjacencies) must enter jit as ARGUMENTS,
     # not closure constants — embedded constants bloat the serialized HLO
     # (and break remote-compile payload limits).
-    hop_kinds = [[op[0] for op in ops] for ops in hop_ops]
-    hop_data = [[tuple(op[1:]) for op in ops] for ops in hop_ops]
+    # pallas ops carry static blocking metadata -> stay closure-side; other
+    # backends' operands travel as jit arguments.
+    hop_kinds = [
+        [op if op[0] == "pallas" else op[0] for op in ops] for ops in hop_ops
+    ]
+    hop_data = [
+        [() if op[0] == "pallas" else tuple(op[1:]) for op in ops]
+        for ops in hop_ops
+    ]
 
     def retag(data):
         return [
-            [(hop_kinds[i][j],) + tuple(d) for j, d in enumerate(row)]
+            [
+                hop_kinds[i][j]
+                if isinstance(hop_kinds[i][j], tuple)
+                else (hop_kinds[i][j],) + tuple(d)
+                for j, d in enumerate(row)
+            ]
             for i, row in enumerate(data)
         ]
 

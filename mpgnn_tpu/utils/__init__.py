@@ -1,7 +1,7 @@
 """Checkpointing, profiling, and misc utilities."""
 
 from mpgnn_tpu.utils.checkpoint import SearchCheckpoint, save_params, restore_params
-from mpgnn_tpu.utils.prof import PhaseTimer, device_trace
+from mpgnn_tpu.utils.prof import PhaseTimer, device_trace, enable_compilation_cache
 
 __all__ = [
     "SearchCheckpoint",
@@ -9,4 +9,5 @@ __all__ = [
     "restore_params",
     "PhaseTimer",
     "device_trace",
+    "enable_compilation_cache",
 ]

@@ -53,3 +53,14 @@ def device_trace(log_dir: Optional[str]) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compilation_cache(path: str = "/tmp/mpgnn_tpu_jax_cache") -> None:
+    """Persistent XLA compilation cache: compiles survive across processes,
+    which matters doubly here because the TPU tunnel's remote compile has
+    high and variable latency (measured 20s-450s for the same program)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
