@@ -131,6 +131,71 @@ def load_fb15k237(
     return g, labels, binarize_labels(labels), [int(v) for v in label_nodes]
 
 
+def load_acm_style(
+    node_file: str, link_file: str, folder: str
+) -> Tuple[HeteroGraph, "PreSplitLabels", List[np.ndarray]]:
+    """ACM/DBLP/IMDB loader (reference ``load_files_acm``, main.py:86-136):
+    pre-split labels from labels_{train,val,test}.dat plus one-vs-rest
+    binarization over the concatenated label vector. The concatenation order
+    (train, val, test) matters: binary label vectors align with the
+    concatenated source-node list (main.py:115-116)."""
+    import pandas as pd
+
+    x = read_node_features(node_file)
+    src, rel, dst = read_links(link_file)
+
+    parts = {}
+    for name in ("train", "val", "test"):
+        df = pd.read_csv(
+            os.path.join(folder, f"labels_{name}.dat"), sep="\t", header=None
+        )
+        parts[name] = (df[0].to_numpy(np.int64), df[1].to_numpy(np.int64))
+
+    sources = np.concatenate(
+        [parts["train"][0], parts["val"][0], parts["test"][0]]
+    )
+    labels = np.concatenate(
+        [parts["train"][1], parts["val"][1], parts["test"][1]]
+    )
+    g = HeteroGraph(
+        x, src, dst, rel,
+        num_relations=int(rel.max()) + 1 if len(rel) else 0, labels=labels,
+    )
+    g.distinct_relations = int(len(np.unique(rel)))
+    presplit = PreSplitLabels(
+        train_idx=parts["train"][0], train_y=parts["train"][1],
+        val_idx=parts["val"][0], val_y=parts["val"][1],
+        test_idx=parts["test"][0], test_y=parts["test"][1],
+        sources=sources, labels=labels,
+    )
+    return g, presplit, binarize_labels(labels)
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class PreSplitLabels:
+    """Pre-split labels as shipped by ACM/DBLP/IMDB datasets."""
+
+    train_idx: np.ndarray
+    train_y: np.ndarray
+    val_idx: np.ndarray
+    val_y: np.ndarray
+    test_idx: np.ndarray
+    test_y: np.ndarray
+    sources: np.ndarray
+    labels: np.ndarray
+
+    def as_split(self) -> NodeSplit:
+        return NodeSplit(
+            node_idx=self.sources,
+            train_idx=self.train_idx, train_y=self.train_y,
+            val_idx=self.val_idx, val_y=self.val_y,
+            test_idx=self.test_idx, test_y=self.test_y,
+        )
+
+
 def one_hot_features(values: Sequence) -> np.ndarray:
     """pd.get_dummies-equivalent one-hot for a value column
     (reference get_node_features, main.py:347-355)."""

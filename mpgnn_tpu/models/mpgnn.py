@@ -101,6 +101,11 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
 
         _, fwd, bwd, interpret = op
         return pallas_spmm_mean(fwd, bwd, interpret, h)
+    if kind == "onehot":
+        from mpgnn_tpu.ops.pallas_spmm import onehot_spmm_mean
+
+        _, fwd, bwd = op
+        return onehot_spmm_mean(fwd, bwd, h)
     raise ValueError(f"unknown hop op {kind!r}")
 
 
@@ -136,6 +141,42 @@ def mpgnn_forward(
     h = jax.nn.relu(h @ params.fc1.w + params.fc1.b)
     h = h @ params.fc2.w + params.fc2.b
     return jax.nn.log_softmax(h, axis=1)
+
+
+# ----------------------------------------------------------- MPNet (2-conv)
+class MetapathNetParams(NamedTuple):
+    conv1: RelConvParams          # input_dim -> hidden
+    conv2: RelConvParams          # hidden -> output, SHARED across hops >= 1
+    linear: LinearParams
+
+
+def init_metapath_net(
+    key: jax.Array, input_dim: int, hidden_dim: int, output_dim: int,
+    num_classes: int,
+) -> MetapathNetParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return MetapathNetParams(
+        conv1=init_relconv(k1, input_dim, hidden_dim),
+        conv2=init_relconv(k2, hidden_dim, output_dim),
+        linear=init_linear(k3, output_dim, num_classes),
+    )
+
+
+def metapath_net_forward(
+    params: MetapathNetParams,
+    x: jax.Array,
+    hop_ops: Sequence[Tuple],
+) -> jax.Array:
+    """Single-metapath MPNet (model.py:153-176): conv1 on the first hop,
+    conv2 SHARED for every later hop, ReLU between layers, Linear head,
+    raw logits (no softmax — model.py:174-176 returns h)."""
+    num_nodes = x.shape[0]
+    h = x
+    for j, op in enumerate(hop_ops):
+        conv = params.conv1 if j == 0 else params.conv2
+        agg = hop_aggregate(h, op, num_nodes)
+        h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
+    return h @ params.linear.w + params.linear.b
 
 
 # --------------------------------------------------------------- RGCN baseline

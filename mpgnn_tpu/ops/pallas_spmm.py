@@ -67,6 +67,12 @@ def _build_one_side(
         dst[b, :n] = cols[s:e]
         local[b, :n] = rows[s:e] - b * block_rows
         wt[b, :n] = weights[s:e]
+    # 3D layout [nb, eb/lane, lane]: Pallas TPU block shapes must have their
+    # last two dims tile-compatible; per-step blocks of (1, eb/lane, lane)
+    # satisfy the "equal to the overall dims" escape.
+    dst = dst.reshape(nb, eb // lane, lane)
+    local = local.reshape(nb, eb // lane, lane)
+    wt = wt.reshape(nb, eb // lane, lane)
     return SpmmBlocking(
         dst=jnp.asarray(dst), local_row=jnp.asarray(local),
         weight=jnp.asarray(wt), num_rows=num_rows, block_rows=block_rows,
@@ -92,20 +98,20 @@ def build_spmm_blocking(
 
 
 def _spmm_kernel(dst_ref, local_ref, w_ref, h_ref, out_ref, *, block_rows):
-    idx = dst_ref[0, :]                                   # [EB]
-    gathered = h_ref[idx, :]                              # [EB, F] VMEM gather
+    idx = dst_ref[0].reshape(-1)                          # [EB]
+    gathered = jnp.take(h_ref[...], idx, axis=0)          # [EB, F] VMEM gather
     eb = idx.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, eb), 0)
-    onehot = jnp.where(
-        rows == local_ref[0, :][None, :], w_ref[0, :][None, :], 0.0
-    )                                                      # [BM, EB]
+    local = local_ref[0].reshape(-1)
+    w = w_ref[0].reshape(-1)
+    onehot = jnp.where(rows == local[None, :], w[None, :], 0.0)  # [BM, EB]
     out_ref[:, :] = jnp.dot(
         onehot, gathered, preferred_element_type=jnp.float32
     )
 
 
 def _spmm_apply(blocking: SpmmBlocking, h: jax.Array, interpret: bool) -> jax.Array:
-    nb, eb = blocking.dst.shape
+    nb, sub, lane = blocking.dst.shape
     bm = blocking.block_rows
     n_pad = nb * bm
     f = h.shape[1]
@@ -113,9 +119,9 @@ def _spmm_apply(blocking: SpmmBlocking, h: jax.Array, interpret: bool) -> jax.Ar
         functools.partial(_spmm_kernel, block_rows=bm),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, eb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, eb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, eb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # full h
         ],
         out_specs=pl.BlockSpec((bm, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -145,6 +151,60 @@ def _pallas_bwd(fwd, bwd, interpret, _res, g):
 
 
 pallas_spmm_mean.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+# ------------------------------------------------- XLA one-hot block backend
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def onehot_spmm_mean(fwd: SpmmBlocking, bwd: SpmmBlocking, h: jax.Array):
+    """Scatter-free mean aggregation in pure XLA with the same blocking as
+    the Pallas kernel: XLA row-gather + precomputed block one-hot incidence
+    + batched MXU matmul. The backward pass uses the transposed blocking, so
+    neither direction lowers a scatter (XLA TPU scatters serialize)."""
+    return _onehot_apply(fwd, h)
+
+
+def _onehot_incidence(blocking: SpmmBlocking) -> jax.Array:
+    """[nb, BM, EB] one-hot-with-weights incidence, cached on the blocking's
+    weight array object."""
+    nb = blocking.dst.shape[0]
+    eb = blocking.dst.shape[1] * blocking.dst.shape[2]
+    bm = blocking.block_rows
+    local = np.asarray(blocking.local_row).reshape(nb, eb)
+    w = np.asarray(blocking.weight).reshape(nb, eb)
+    rows = np.arange(bm)[None, :, None]
+    onehot = (local[:, None, :] == rows) * w[:, None, :]
+    return jnp.asarray(onehot, dtype=jnp.float32)
+
+
+_INCIDENCE_CACHE: dict = {}
+
+
+def _onehot_apply(blocking: SpmmBlocking, h: jax.Array) -> jax.Array:
+    key = id(blocking.weight)
+    if key not in _INCIDENCE_CACHE:
+        # keep the blocking alive in the cache entry so the id() key can
+        # never be recycled while the incidence is cached
+        _INCIDENCE_CACHE[key] = (_onehot_incidence(blocking), blocking)
+    onehot = _INCIDENCE_CACHE[key][0]
+    nb = blocking.dst.shape[0]
+    eb = blocking.dst.shape[1] * blocking.dst.shape[2]
+    idx = blocking.dst.reshape(nb * eb)
+    gathered = h[idx].reshape(nb, eb, h.shape[1])
+    out = jnp.einsum(
+        "bme,bef->bmf", onehot, gathered, preferred_element_type=jnp.float32
+    )
+    return out.reshape(nb * blocking.block_rows, h.shape[1])[: blocking.num_rows]
+
+
+def _onehot_fwd(fwd, bwd, h):
+    return _onehot_apply(fwd, h), None
+
+
+def _onehot_bwd(fwd, bwd, _res, g):
+    return (_onehot_apply(bwd, g),)
+
+
+onehot_spmm_mean.defvjp(_onehot_fwd, _onehot_bwd)
 
 
 def ref_mean(h: jax.Array, src, dst, num_nodes: int) -> jax.Array:

@@ -74,10 +74,17 @@ def main(argv=None):
     label_f = folder + args.label_file
 
     source_nodes = None
+    presplit = None
     if args.dataset == "fb15k-237":
         graph, labels, binary_labels, source_nodes = load_fb15k237(
             node_f, link_f, label_f
         )
+    elif args.dataset in ("DBLP", "IMDB", "ACM"):
+        from mpgnn_tpu.graph.io import load_acm_style
+
+        graph, presplit, binary_labels = load_acm_style(node_f, link_f, folder)
+        labels = presplit.labels
+        source_nodes = presplit.sources.tolist()
     else:
         graph, labels, binary_labels = load_dat_files(node_f, link_f, label_f)
 
@@ -90,8 +97,12 @@ def main(argv=None):
 
     results = {}
     for list_index, binary_lab in enumerate(binary_labels):
-        # per-class split + optional label-leak masking (main.py:1214-1240)
-        split = split_nodes(labels, node_idx=source_nodes, seed=cfg.split_seed)
+        # per-class split + optional label-leak masking (main.py:1214-1240);
+        # ACM/DBLP/IMDB ship pre-split labels (main.py:96-113)
+        if presplit is not None:
+            split = presplit.as_split()
+        else:
+            split = split_nodes(labels, node_idx=source_nodes, seed=cfg.split_seed)
         x = graph.x
         if args.dataset == "fb15k-237":
             x = mask_label_leak(graph.x, split)

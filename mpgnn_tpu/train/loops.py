@@ -87,6 +87,15 @@ def build_hop_arrays(
                 fwd, bwd = dense_cache[key]
                 interp = jax.devices()[0].platform not in ("tpu",)
                 ops.append(("pallas", fwd, bwd, interp))
+            elif backend == "onehot":
+                from mpgnn_tpu.ops.pallas_spmm import build_spmm_blocking
+
+                key = ("pallas", rel)
+                if key not in dense_cache:
+                    s, d = graph.rel_edges(rel)
+                    dense_cache[key] = build_spmm_blocking(s, d, graph.num_nodes)
+                fwd, bwd = dense_cache[key]
+                ops.append(("onehot", fwd, bwd))
             else:
                 raise ValueError(f"unknown backend {backend!r}")
         hop_ops.append(ops)
@@ -138,10 +147,11 @@ def train_mpgnn(
     # pallas ops carry static blocking metadata -> stay closure-side; other
     # backends' operands travel as jit arguments.
     hop_kinds = [
-        [op if op[0] == "pallas" else op[0] for op in ops] for ops in hop_ops
+        [op if op[0] in ("pallas", "onehot") else op[0] for op in ops]
+        for ops in hop_ops
     ]
     hop_data = [
-        [() if op[0] == "pallas" else tuple(op[1:]) for op in ops]
+        [() if op[0] in ("pallas", "onehot") else tuple(op[1:]) for op in ops]
         for ops in hop_ops
     ]
 

@@ -2,6 +2,13 @@
 
 from mpgnn_tpu.utils.checkpoint import SearchCheckpoint, save_params, restore_params
 from mpgnn_tpu.utils.prof import PhaseTimer, device_trace, enable_compilation_cache
+from mpgnn_tpu.utils.misc import (
+    most_frequent,
+    one_hot_encoding,
+    negative_sampling,
+    save_confusion_matrix,
+    find_smallest_values,
+)
 
 __all__ = [
     "SearchCheckpoint",
@@ -10,4 +17,9 @@ __all__ = [
     "PhaseTimer",
     "device_trace",
     "enable_compilation_cache",
+    "most_frequent",
+    "one_hot_encoding",
+    "negative_sampling",
+    "save_confusion_matrix",
+    "find_smallest_values",
 ]

@@ -124,3 +124,67 @@ def test_gtn_export(planted, tmp_path):
         labels = pickle.load(f)
     assert len(labels) == 3
     assert len(labels[0]) == len(split.train_idx)
+
+
+def test_misc_utils(tmp_path):
+    from mpgnn_tpu.utils.misc import (
+        find_smallest_values,
+        most_frequent,
+        negative_sampling,
+        one_hot_encoding,
+        save_confusion_matrix,
+    )
+
+    assert most_frequent([1, 2, 2, 3]) == 2
+    oh = one_hot_encoding([0, 2, 2])
+    assert oh.shape == (3, 2) and oh[0, 0] == 1 and oh[1, 1] == 1
+    labels = np.array([1, 0, 0, 0, 1])
+    samp = negative_sampling(labels, np.random.default_rng(0))
+    assert set(samp[:2]) == {0, 4} and len(samp) == 5
+    cm = save_confusion_matrix([0, 1, 1], [0, 1, 0], str(tmp_path / "cm"))
+    assert cm.sum() == 3
+    assert find_smallest_values([0.1, 0.11, 0.12, 0.9]) == [0.9]
+    assert find_smallest_values([0.1, 0.11]) == 0.1
+
+
+def test_metapath_net_forward(planted):
+    import jax
+
+    from mpgnn_tpu.models.mpgnn import init_metapath_net, metapath_net_forward
+    from mpgnn_tpu.train.loops import build_hop_arrays
+
+    graph, g = planted
+    params = init_metapath_net(jax.random.PRNGKey(0), graph.feat_dim, 8, 8, 2)
+    ops = build_hop_arrays(graph, [[1, 0]], pad_multiple=8)[0]
+    import jax.numpy as jnp
+
+    out = metapath_net_forward(params, jnp.asarray(graph.x), ops)
+    assert out.shape == (graph.num_nodes, 2)
+    # raw logits, not log-probs
+    assert not np.allclose(np.exp(np.asarray(out)).sum(axis=1), 1.0)
+
+
+def test_acm_style_loader(tmp_path):
+    from mpgnn_tpu.graph.io import load_acm_style
+
+    d = str(tmp_path)
+    with open(d + "/node.dat", "w") as f:
+        for i in range(6):
+            f.write(f"{i}\t1\t0\n")
+    with open(d + "/link.dat", "w") as f:
+        f.write("0\t0\t1\n1\t1\t2\n3\t0\t4\n")
+    for name, rows in [
+        ("labels_train.dat", [(0, 0), (1, 1)]),
+        ("labels_val.dat", [(2, 0)]),
+        ("labels_test.dat", [(3, 1)]),
+    ]:
+        with open(d + "/" + name, "w") as f:
+            for n, l in rows:
+                f.write(f"{n}\t{l}\n")
+    g, presplit, binlabs = load_acm_style(d + "/node.dat", d + "/link.dat", d)
+    assert g.num_nodes == 6
+    np.testing.assert_array_equal(presplit.sources, [0, 1, 2, 3])
+    np.testing.assert_array_equal(presplit.labels, [0, 1, 0, 1])
+    s = presplit.as_split()
+    np.testing.assert_array_equal(s.train_idx, [0, 1])
+    assert len(binlabs) == 1
