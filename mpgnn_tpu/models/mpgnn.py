@@ -129,8 +129,18 @@ def mpgnn_forward(
     for i, stack in enumerate(params.convs):
         h = x
         for j, conv in enumerate(stack):
-            agg = hop_aggregate(h, hop_ops[i][j], num_nodes)
-            h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
+            op = hop_ops[i][j]
+            if op[0] == "fused":
+                # fully fused conv kernel (aggregation + transform + relu)
+                from mpgnn_tpu.ops.pallas_conv import pallas_dense_conv
+
+                _, operand, interp = op
+                h = pallas_dense_conv(
+                    operand, interp, h, conv.weight, conv.root, conv.bias
+                )
+            else:
+                agg = hop_aggregate(h, op, num_nodes)
+                h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
             if train and dropout_rate > 0.0:
                 key = jax.random.fold_in(dropout_rng, drop_i)
                 keep = jax.random.bernoulli(key, 1.0 - dropout_rate, h.shape)

@@ -1,24 +1,22 @@
-"""Pallas TPU kernels: fused relation-masked mean aggregation (SpMM).
+"""Scatter-free SpMM via block-local one-hot matmuls.
 
 The XLA ``segment`` backend lowers scatter-adds, which serialize on TPU.
-This kernel eliminates scatters entirely with the block-local one-hot-matmul
-trick: edges are pre-sorted by source row and partitioned into row blocks of
-``BM`` rows with a per-block padded edge budget ``EB``; each grid step
+This module eliminates scatters with the block-local one-hot-matmul trick:
+edges are pre-sorted by target row and partitioned into row blocks of ``BM``
+rows with a per-block padded edge budget ``EB``; aggregation is then
 
-  1. gathers the needed feature rows from the full ``h`` resident in VMEM
-     (dynamic row gather, VMEM-speed),
-  2. builds the block-local one-hot incidence ``[BM, EB]`` on the fly
-     (local_row iota == edge local row, masked), and
-  3. reduces with ONE MXU matmul ``onehot @ gathered -> [BM, F]``,
-     then normalizes by precomputed degrees (mean; zero rows for
-     degree-0 sources).
+  1. an XLA row gather of the needed feature rows, and
+  2. ONE batched MXU matmul against the precomputed block one-hot incidence
+     ``[nb, BM, EB]`` (the mean's 1/deg folded into the weights).
 
 The backward pass is the transposed SpMM ``dh[dst] += g[src] / deg[src]`` —
-the same kernel applied to an edge blocking sorted by destination, so no
-scatter appears in either direction (custom VJP).
+the same computation on an edge blocking sorted by destination, so no
+scatter appears in either direction (custom VJP). Blockings are built
+host-side once per relation (``build_spmm_blocking``).
 
-Everything is static-shaped; blockings are built host-side once per
-relation (``build_spmm_blocking``).
+(A VMEM-gather Pallas variant was prototyped but Mosaic does not lower
+dynamic row gathers from refs; the fused Pallas conv kernel lives in
+ops/pallas_conv.py instead.)
 """
 
 from __future__ import annotations
@@ -29,9 +27,6 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
 
 class SpmmBlocking(NamedTuple):
     """Host-built static blocking of one relation's edges, rows = aggregation
@@ -41,6 +36,7 @@ class SpmmBlocking(NamedTuple):
     dst: jax.Array        # [num_blocks, EB] gather indices (feature rows)
     local_row: jax.Array  # [num_blocks, EB] target row within the block
     weight: jax.Array     # [num_blocks, EB] f32 edge weight (0 for padding)
+    incidence: jax.Array  # [num_blocks, BM, EB] one-hot-with-weight blocks
     num_rows: int         # unpadded target-row count
     block_rows: int       # BM
 
@@ -70,12 +66,16 @@ def _build_one_side(
     # 3D layout [nb, eb/lane, lane]: Pallas TPU block shapes must have their
     # last two dims tile-compatible; per-step blocks of (1, eb/lane, lane)
     # satisfy the "equal to the overall dims" escape.
+    # eager one-hot incidence (device array built OUTSIDE any trace, so
+    # jitted users never capture trace-time temporaries)
+    inc = (local[:, None, :] == np.arange(block_rows)[None, :, None]) * wt[:, None, :]
     dst = dst.reshape(nb, eb // lane, lane)
     local = local.reshape(nb, eb // lane, lane)
     wt = wt.reshape(nb, eb // lane, lane)
     return SpmmBlocking(
         dst=jnp.asarray(dst), local_row=jnp.asarray(local),
-        weight=jnp.asarray(wt), num_rows=num_rows, block_rows=block_rows,
+        weight=jnp.asarray(wt), incidence=jnp.asarray(inc, dtype=jnp.float32),
+        num_rows=num_rows, block_rows=block_rows,
     )
 
 
@@ -97,62 +97,6 @@ def build_spmm_blocking(
     return fwd, bwd
 
 
-def _spmm_kernel(dst_ref, local_ref, w_ref, h_ref, out_ref, *, block_rows):
-    idx = dst_ref[0].reshape(-1)                          # [EB]
-    gathered = jnp.take(h_ref[...], idx, axis=0)          # [EB, F] VMEM gather
-    eb = idx.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, eb), 0)
-    local = local_ref[0].reshape(-1)
-    w = w_ref[0].reshape(-1)
-    onehot = jnp.where(rows == local[None, :], w[None, :], 0.0)  # [BM, EB]
-    out_ref[:, :] = jnp.dot(
-        onehot, gathered, preferred_element_type=jnp.float32
-    )
-
-
-def _spmm_apply(blocking: SpmmBlocking, h: jax.Array, interpret: bool) -> jax.Array:
-    nb, sub, lane = blocking.dst.shape
-    bm = blocking.block_rows
-    n_pad = nb * bm
-    f = h.shape[1]
-    out = pl.pallas_call(
-        functools.partial(_spmm_kernel, block_rows=bm),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # full h
-        ],
-        out_specs=pl.BlockSpec((bm, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
-        interpret=interpret,
-    )(blocking.dst, blocking.local_row, blocking.weight, h)
-    return out[: blocking.num_rows]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def pallas_spmm_mean(
-    fwd: SpmmBlocking, bwd: SpmmBlocking, interpret: bool, h: jax.Array
-) -> jax.Array:
-    """Fused mean aggregation: out[i] = mean over edges (i, d) of h[d].
-
-    Scatter-free in both directions (see module docstring). ``interpret``
-    runs the kernels in Pallas interpreter mode (CPU tests)."""
-    return _spmm_apply(fwd, h, interpret)
-
-
-def _pallas_fwd(fwd, bwd, interpret, h):
-    return _spmm_apply(fwd, h, interpret), None
-
-
-def _pallas_bwd(fwd, bwd, interpret, _res, g):
-    return (_spmm_apply(bwd, g, interpret),)
-
-
-pallas_spmm_mean.defvjp(_pallas_fwd, _pallas_bwd)
-
-
 # ------------------------------------------------- XLA one-hot block backend
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def onehot_spmm_mean(fwd: SpmmBlocking, bwd: SpmmBlocking, h: jax.Array):
@@ -163,29 +107,8 @@ def onehot_spmm_mean(fwd: SpmmBlocking, bwd: SpmmBlocking, h: jax.Array):
     return _onehot_apply(fwd, h)
 
 
-def _onehot_incidence(blocking: SpmmBlocking) -> jax.Array:
-    """[nb, BM, EB] one-hot-with-weights incidence, cached on the blocking's
-    weight array object."""
-    nb = blocking.dst.shape[0]
-    eb = blocking.dst.shape[1] * blocking.dst.shape[2]
-    bm = blocking.block_rows
-    local = np.asarray(blocking.local_row).reshape(nb, eb)
-    w = np.asarray(blocking.weight).reshape(nb, eb)
-    rows = np.arange(bm)[None, :, None]
-    onehot = (local[:, None, :] == rows) * w[:, None, :]
-    return jnp.asarray(onehot, dtype=jnp.float32)
-
-
-_INCIDENCE_CACHE: dict = {}
-
-
 def _onehot_apply(blocking: SpmmBlocking, h: jax.Array) -> jax.Array:
-    key = id(blocking.weight)
-    if key not in _INCIDENCE_CACHE:
-        # keep the blocking alive in the cache entry so the id() key can
-        # never be recycled while the incidence is cached
-        _INCIDENCE_CACHE[key] = (_onehot_incidence(blocking), blocking)
-    onehot = _INCIDENCE_CACHE[key][0]
+    onehot = blocking.incidence
     nb = blocking.dst.shape[0]
     eb = blocking.dst.shape[1] * blocking.dst.shape[2]
     idx = blocking.dst.reshape(nb * eb)

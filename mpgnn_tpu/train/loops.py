@@ -78,15 +78,17 @@ def build_hop_arrays(
                 adj, adj_t = dense_cache[rel]
                 ops.append(("dense", adj, adj_t))
             elif backend == "pallas":
-                from mpgnn_tpu.ops.pallas_spmm import build_spmm_blocking
+                # fused dense conv kernel (bf16 adjacency on the MXU)
+                from mpgnn_tpu.ops.pallas_conv import build_dense_conv_operand
 
-                key = ("pallas", rel)
+                key = ("fused", rel)
                 if key not in dense_cache:
                     s, d = graph.rel_edges(rel)
-                    dense_cache[key] = build_spmm_blocking(s, d, graph.num_nodes)
-                fwd, bwd = dense_cache[key]
+                    dense_cache[key] = build_dense_conv_operand(
+                        s, d, graph.num_nodes
+                    )
                 interp = jax.devices()[0].platform not in ("tpu",)
-                ops.append(("pallas", fwd, bwd, interp))
+                ops.append(("fused", dense_cache[key], interp))
             elif backend == "onehot":
                 from mpgnn_tpu.ops.pallas_spmm import build_spmm_blocking
 
@@ -146,25 +148,37 @@ def train_mpgnn(
     # (and break remote-compile payload limits).
     # pallas ops carry static blocking metadata -> stay closure-side; other
     # backends' operands travel as jit arguments.
-    hop_kinds = [
-        [op if op[0] in ("pallas", "onehot") else op[0] for op in ops]
-        for ops in hop_ops
-    ]
-    hop_data = [
-        [() if op[0] in ("pallas", "onehot") else tuple(op[1:]) for op in ops]
-        for ops in hop_ops
-    ]
+    def split_op(op):
+        """(static part, dynamic arrays) per op: large operands travel as jit
+        args; static metadata stays closure-side."""
+        if op[0] == "onehot":
+            return op, ()
+        if op[0] == "fused":
+            _, operand, interp = op
+            return ("fused", operand.num_rows, interp), (operand.a, operand.a_t)
+        return op[0], tuple(op[1:])
+
+    hop_kinds = [[split_op(op)[0] for op in ops] for ops in hop_ops]
+    hop_data = [[split_op(op)[1] for op in ops] for ops in hop_ops]
 
     def retag(data):
-        return [
-            [
-                hop_kinds[i][j]
-                if isinstance(hop_kinds[i][j], tuple)
-                else (hop_kinds[i][j],) + tuple(d)
-                for j, d in enumerate(row)
-            ]
-            for i, row in enumerate(data)
-        ]
+        from mpgnn_tpu.ops.pallas_conv import DenseConvOperand
+
+        out = []
+        for i, row in enumerate(data):
+            r = []
+            for j, d in enumerate(row):
+                k = hop_kinds[i][j]
+                if isinstance(k, tuple) and k[0] == "fused":
+                    _, num_rows, interp = k
+                    a, a_t = d
+                    r.append(("fused", DenseConvOperand(a, a_t, num_rows), interp))
+                elif isinstance(k, tuple):
+                    r.append(k)
+                else:
+                    r.append((k,) + tuple(d))
+            out.append(r)
+        return out
 
     train_idx = jnp.asarray(split.train_idx)
     train_y = jnp.asarray(split.train_y)
