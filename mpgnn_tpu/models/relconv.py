@@ -63,6 +63,30 @@ def relconv_apply(
     return out + params.bias
 
 
+def basis_weights(comp: jax.Array, bases: jax.Array) -> jax.Array:
+    """Basis-decomposition weights (mp_rgcn_layer.py:120-123, 202-204):
+    W_r = sum_b comp[r, b] * basis_b. comp [R, B], bases [B, in, out] ->
+    [R, in, out]."""
+    return jnp.einsum(
+        "rb,bio->rio", comp, bases, preferred_element_type=jnp.float32
+    )
+
+
+def block_diag_apply(
+    aggregated: jax.Array, block_weight: jax.Array
+) -> jax.Array:
+    """Block-diagonal-decomposition transform (mp_rgcn_layer.py:125-131,
+    209-220): block_weight [num_blocks, in/num_blocks, out/num_blocks];
+    the aggregated features are reshaped into blocks and each block gets its
+    own small GEMM (einsum 'abc,bcd->abd' at :219)."""
+    nb, bin_, bout = block_weight.shape
+    h = aggregated.reshape(-1, nb, bin_)
+    out = jnp.einsum(
+        "abc,bcd->abd", h, block_weight, preferred_element_type=jnp.float32
+    )
+    return out.reshape(-1, nb * bout)
+
+
 def fast_rgcn_aggregate(
     x: jax.Array,
     weights: jax.Array,      # [R, in, out] per-relation transforms

@@ -151,3 +151,26 @@ def test_mpgnn_backends_agree(tiny_graph):
         )
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(outs[0], outs[2], rtol=1e-4, atol=1e-4)
+
+
+def test_basis_and_block_decomposition():
+    from mpgnn_tpu.models.relconv import basis_weights, block_diag_apply
+
+    rng = np.random.default_rng(0)
+    R, B, F, H = 4, 2, 6, 8
+    comp = jnp.asarray(rng.normal(size=(R, B)).astype(np.float32))
+    bases = jnp.asarray(rng.normal(size=(B, F, H)).astype(np.float32))
+    W = np.asarray(basis_weights(comp, bases))
+    want = np.einsum("rb,bio->rio", np.asarray(comp), np.asarray(bases))
+    np.testing.assert_allclose(W, want, rtol=1e-5, atol=1e-6)
+
+    nb, bi, bo = 2, 3, 4
+    bw = jnp.asarray(rng.normal(size=(nb, bi, bo)).astype(np.float32))
+    h = jnp.asarray(rng.normal(size=(5, nb * bi)).astype(np.float32))
+    got = np.asarray(block_diag_apply(h, bw))
+    want = np.zeros((5, nb * bo))
+    for b in range(nb):
+        want[:, b * bo:(b + 1) * bo] = (
+            np.asarray(h)[:, b * bi:(b + 1) * bi] @ np.asarray(bw)[b]
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
