@@ -40,12 +40,22 @@ _MEM_BUDGET_ENTRIES = 48_000_000  # per-chunk cap on R*N*D ELL entries
 
 
 # ------------------------------------------------------------------ helpers
+def _pow2_bucket(n: int, lo: int = 4) -> int:
+    """Round up to a power of two (>= lo) so padded shapes fall into a small
+    set of compile signatures — compiles over the TPU tunnel cost tens of
+    seconds each, so shape bucketing matters more than padding waste."""
+    n = max(n, lo)
+    return 1 << (n - 1).bit_length()
+
+
 def _relation_ell_stack(
-    graph: HeteroGraph, relations: Sequence[int]
+    graph: HeteroGraph, relations: Sequence[int], d_pad: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Stack per-relation ELL tables to common [R, N, D_max]."""
+    """Stack per-relation ELL tables to common [R, N, D]."""
     tables = [graph.neighbor_table(int(r)) for r in relations]
     d_max = max(t[0].shape[1] for t in tables)
+    if d_pad is not None:
+        d_max = max(d_max, d_pad)
     R, N = len(tables), graph.num_nodes
     nbr = np.zeros((R, N, d_max), dtype=np.int32)
     mask = np.zeros((R, N, d_max), dtype=bool)
@@ -56,20 +66,28 @@ def _relation_ell_stack(
 
 
 def _chunks(relations: Sequence[int], graph: HeteroGraph) -> List[List[int]]:
-    """Split the relation list so each chunk's stacked ELL fits the budget."""
-    out: List[List[int]] = []
-    cur: List[int] = []
-    cur_cost = 0
+    """Group relations into chunks sharing one compile signature.
+
+    Relations are bucketed by pow2-rounded max degree; each bucket is split
+    so R_chunk * N * D_bucket fits the memory budget, with R_chunk itself
+    rounded to a pow2 (padded by repeating the last relation; callers simply
+    overwrite duplicate results). Compile count is then O(#distinct
+    (D_bucket, R_bucket) pairs), not O(#chunks)."""
+    by_bucket: Dict[int, List[int]] = {}
     for r in relations:
         nbr, _ = graph.neighbor_table(int(r))
-        cost = graph.num_nodes * max(nbr.shape[1], 1)
-        if cur and cur_cost + cost > _MEM_BUDGET_ENTRIES:
-            out.append(cur)
-            cur, cur_cost = [], 0
-        cur.append(int(r))
-        cur_cost += cost
-    if cur:
-        out.append(cur)
+        d = _pow2_bucket(nbr.shape[1])
+        by_bucket.setdefault(d, []).append(int(r))
+    out: List[List[int]] = []
+    for d, rels in sorted(by_bucket.items()):
+        max_r = max(1, _MEM_BUDGET_ENTRIES // (graph.num_nodes * d))
+        max_r = max(1, 1 << (max_r.bit_length() - 1))  # pow2 floor
+        for i in range(0, len(rels), max_r):
+            chunk = rels[i : i + max_r]
+            pad_to = min(_pow2_bucket(len(chunk), lo=1), max_r)
+            while len(chunk) < pad_to:
+                chunk = chunk + [chunk[-1]]
+            out.append(chunk)
     return out
 
 
@@ -164,7 +182,10 @@ def score_relations_flat(
         fixed_mask[np.asarray(list(source_nodes), dtype=np.int64)] = True
 
     for chunk in _chunks(relations, graph):
-        nbr, mask = _relation_ell_stack(graph, chunk)
+        d_pad = _pow2_bucket(
+            max(graph.neighbor_table(int(r))[0].shape[1] for r in chunk)
+        )
+        nbr, mask = _relation_ell_stack(graph, chunk, d_pad)
         R = len(chunk)
         w0 = np.empty((R, N), dtype=np.float32)
         loss_mask = np.zeros((R, N), dtype=np.float32)
@@ -186,7 +207,8 @@ def score_relations_flat(
         w = np.asarray(w)
         loss = np.asarray(loss)
         for i, r in enumerate(chunk):
-            results[int(r)] = FlatScore(int(r), float(loss[i]), w[i])
+            if int(r) not in results:   # chunk padding repeats relations
+                results[int(r)] = FlatScore(int(r), float(loss[i]), w[i])
     return results
 
 
@@ -302,14 +324,19 @@ def retrain_bags_predictions(
     rng = rng or np.random.default_rng(0)
     x = np.asarray(graph.x if x is None else x, dtype=np.float32)
     N, F = x.shape
-    B = len(bags)
-    M = max((len(b) for b in bags), default=1)
+    n_bags = len(bags)
+    # pow2 padding keeps compile signatures stable across metapath states
+    B = _pow2_bucket(n_bags, lo=8)
+    M = _pow2_bucket(max((len(b) for b in bags), default=1), lo=2)
     bags_arr = np.zeros((B, M), dtype=np.int32)
     member_valid = np.zeros((B, M), dtype=bool)
     for i, b in enumerate(bags):
         bags_arr[i, : len(b)] = b
         member_valid[i, : len(b)] = True
-    bag_labels = np.asarray(bag_labels, dtype=np.float32).reshape(-1)
+    bag_labels = np.concatenate([
+        np.asarray(bag_labels, dtype=np.float32).reshape(-1),
+        np.zeros(B - n_bags, dtype=np.float32),
+    ])
 
     member_min_label = np.full(N, np.inf, dtype=np.float32)
     for i, b in enumerate(bags):
@@ -357,14 +384,19 @@ def score_relations_bags(
     rng = rng or np.random.default_rng(0)
     x = np.asarray(graph.x if x is None else x, dtype=np.float32)
     N, F = x.shape
-    B = len(bags)
-    M = max((len(b) for b in bags), default=1)
+    n_bags = len(bags)
+    # pow2 padding keeps compile signatures stable across metapath states
+    B = _pow2_bucket(n_bags, lo=8)
+    M = _pow2_bucket(max((len(b) for b in bags), default=1), lo=2)
     bags_arr = np.zeros((B, M), dtype=np.int32)
     member_valid = np.zeros((B, M), dtype=bool)
     for i, b in enumerate(bags):
         bags_arr[i, : len(b)] = b
         member_valid[i, : len(b)] = True
-    bag_labels = np.asarray(bag_labels, dtype=np.float32).reshape(-1)
+    bag_labels = np.concatenate([
+        np.asarray(bag_labels, dtype=np.float32).reshape(-1),
+        np.zeros(B - n_bags, dtype=np.float32),
+    ])
 
     # min bag label per member (for destination_bag_dictionary init,
     # main.py:426-438)
@@ -376,7 +408,10 @@ def score_relations_bags(
 
     results: Dict[int, BagScore] = {}
     for chunk in _chunks(relations, graph):
-        nbr, mask = _relation_ell_stack(graph, chunk)
+        d_pad = _pow2_bucket(
+            max(graph.neighbor_table(int(r))[0].shape[1] for r in chunk)
+        )
+        nbr, mask = _relation_ell_stack(graph, chunk, d_pad)
         R = len(chunk)
         has_edge = mask.any(axis=-1)                      # [R, N]
         member_mask = member_valid[None] & has_edge[:, bags_arr]  # [R, B, M]
@@ -467,6 +502,8 @@ def score_relations_bags(
                     active[i] = False
 
         for i, r in enumerate(chunk):
+            if int(r) in results:       # chunk padding repeats relations
+                continue
             results[int(r)] = BagScore(
                 relation=int(r),
                 loss=float(current_loss[i]),
