@@ -39,7 +39,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_hops", type=int, default=3, help="extension hops")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", type=str, default="segment",
-                   choices=["segment", "ell", "dense"])
+                   choices=["segment", "ell", "dense", "pallas", "onehot"])
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
     return p
