@@ -69,8 +69,13 @@ def bench_jax(graph, labels):
     tx = make_optimizer(cfg)
     drop_key = jax.random.PRNGKey(1)
 
+    import os
+
+    backends = ("segment", "ell", "dense", "pallas") if os.environ.get(
+        "BENCH_ALL_BACKENDS"
+    ) else ("segment", "ell")
     best = (0.0, None)
-    for backend in ("segment", "ell", "dense", "pallas"):
+    for backend in backends:
         hop_ops = build_hop_arrays(graph, [METAPATH], backend=backend)
         # large operands (dense adjacencies) must be jit ARGUMENTS, not
         # closure constants (remote-compile payload limits); pallas blockings

@@ -38,3 +38,31 @@ def test_search_recovers_planted_metapath():
     assert res.val_f1_by_path[str(planted)] >= 0.95
     assert res.test_f1 >= 0.9
     assert planted in res.metapaths or res.val_f1_by_path[best_path] >= 0.99
+
+
+@pytest.mark.slow
+def test_search_recovers_length3_planted_metapath():
+    """Three extension hops (the reference's for k in range(3), main.py:1381)
+    on a planted length-3 metapath (4 relations on the path - 1 = 3 hops of
+    extension from the 1-hop seed)."""
+    g = generate_synthetic_graph(
+        1200, 4, "red-red-red-blue", overlap=0, shared_relations=0, seed=5
+    )
+    planted = g["metapath_relations"]
+    assert len(planted) == 3
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=4, labels=g["labels"],
+    )
+    split = split_nodes(g["labels"])
+    cfg = SearchConfig(
+        mpgnn=MPGNNConfig(epochs=120, hidden_dim=32),
+        scorer=ScorerConfig(max_restarts=5),
+        max_extension_hops=2,
+    )
+    res = find_metapaths(
+        graph, g["labels"].astype(np.float32), split, num_classes=2,
+        config=cfg, dataset="synthetic", seed=0,
+    )
+    assert planted in res.discovered
+    assert res.val_f1_by_path[str(planted)] >= 0.9
