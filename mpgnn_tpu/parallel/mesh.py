@@ -48,3 +48,24 @@ def shard_along(mesh: Mesh, axis: str, dim: int = 0) -> NamedSharding:
     spec = [None] * (dim + 1)
     spec[dim] = axis
     return NamedSharding(mesh, P(*spec))
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bootstrap (jax.distributed). On a real pod slice call this
+    once per host before building meshes; on single-host environments it is
+    a no-op. Returns the global device count. The TPU-native replacement for
+    the reference's `mpiexec -n 10` + MPI.COMM_WORLD bootstrap
+    (main.py:1191-1195, run.sh:32)."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())

@@ -233,8 +233,10 @@ def find_metapaths(
         "final eval of %d candidates: %.1fs", len(final_paths), time.time() - t0
     )
 
+    import ast
+
     ranked = sorted(val_by_path.items(), key=lambda kv: kv[1], reverse=True)
-    top = [eval(k) for k, _ in ranked[: cfg.top_k_final]]
+    top = [ast.literal_eval(k) for k, _ in ranked[: cfg.top_k_final]]
 
     # greedy accumulation while test F1 improves (main.py:1463-1476)
     test_meta: List[List[int]] = []
