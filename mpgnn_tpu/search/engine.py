@@ -73,12 +73,21 @@ def find_metapaths(
     x_features: Optional[np.ndarray] = None,
     seed: int = 0,
     batched_eval: bool = True,
+    frontier_checkpoint: Optional[str] = None,
 ) -> SearchResult:
     """Run the full metapath search for one binary label vector.
 
     ``binary_labels`` is node-indexed for synthetic datasets; for datasets
     where only ``source_nodes`` carry labels it is aligned with that list
-    (reference main.py:1214-1289 semantics)."""
+    (reference main.py:1214-1289 semantics).
+
+    ``frontier_checkpoint``: optional pickle path; the search frontier
+    (current states + discovered paths) is saved after hop 0 and after every
+    extension hop, and a partially-completed search resumes from the last
+    finished hop — search-step-granularity recovery (SURVEY §5; the
+    reference has none: a dead rank kills the whole mpiexec job)."""
+    import pickle
+
     cfg = config or SearchConfig()
     rng = np.random.default_rng(seed)
     x = np.asarray(graph.x if x_features is None else x_features, np.float32)
@@ -93,49 +102,87 @@ def find_metapaths(
         src_list = None
         node_labels[:] = np.asarray(binary_labels).reshape(-1)
 
-    # ---------------------------------------------------------------- hop 0
-    t0 = time.time()
-    if dataset == "synthetic":
-        candidates = bagmod.connected_relations(graph, node_labels=node_labels)
-    else:
-        candidates = bagmod.connected_relations(graph, source_nodes=src_list)
-    log.info("hop-0 candidates: %s", candidates)
-    flat = score_relations_flat(
-        graph, candidates, node_labels, src_list, cfg.scorer, rng
-    )
-    items = [(r, flat[r].loss) for r in candidates]
-    survivors = bagmod.flat_gap_selection(items)
-    log.info(
-        "hop-0 losses: %s -> survivors %s (%.1fs)",
-        {r: round(l, 4) for r, l in items},
-        [r for r, _ in survivors],
-        time.time() - t0,
-    )
+    # ------------------------------------------------------ frontier resume
+    resume = None
+    if frontier_checkpoint:
+        import os
 
-    current: List[MetapathState] = []
-    for rel, loss in survivors:
-        if src_list is None:
-            srcs_r = np.unique(graph.rel_edges(rel)[0]).tolist()
-        else:
-            srcs_r = src_list
-        edge_dict, dest_dict = bagmod.build_dictionaries(
-            graph, rel, srcs_r, node_labels
-        )
-        current.append(
-            MetapathState(
-                path=[rel],
-                score=loss,
-                edge_dict=edge_dict,
-                dest_dict=dest_dict,
-                node_labels=node_labels.copy(),
-                source_nodes=srcs_r,
+        if os.path.exists(frontier_checkpoint):
+            with open(frontier_checkpoint, "rb") as f:
+                resume = pickle.load(f)
+            log.info(
+                "resuming frontier from %s (hop %d, %d states, %d paths)",
+                frontier_checkpoint, resume["hop"], len(resume["current"]),
+                len(resume["final_paths"]),
             )
+
+    def save_frontier(hop, current, final_paths):
+        if not frontier_checkpoint:
+            return
+        tmp = frontier_checkpoint + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(
+                {"hop": hop, "current": current, "final_paths": final_paths},
+                f,
+            )
+        import os
+
+        os.replace(tmp, frontier_checkpoint)
+
+    # ---------------------------------------------------------------- hop 0
+    if resume is None:
+        t0 = time.time()
+        if dataset == "synthetic":
+            candidates = bagmod.connected_relations(
+                graph, node_labels=node_labels
+            )
+        else:
+            candidates = bagmod.connected_relations(
+                graph, source_nodes=src_list
+            )
+        log.info("hop-0 candidates: %s", candidates)
+        flat = score_relations_flat(
+            graph, candidates, node_labels, src_list, cfg.scorer, rng
+        )
+        items = [(r, flat[r].loss) for r in candidates]
+        survivors = bagmod.flat_gap_selection(items)
+        log.info(
+            "hop-0 losses: %s -> survivors %s (%.1fs)",
+            {r: round(l, 4) for r, l in items},
+            [r for r, _ in survivors],
+            time.time() - t0,
         )
 
-    final_paths: List[List[int]] = [list(s.path) for s in current]
+        current: List[MetapathState] = []
+        for rel, loss in survivors:
+            if src_list is None:
+                srcs_r = np.unique(graph.rel_edges(rel)[0]).tolist()
+            else:
+                srcs_r = src_list
+            edge_dict, dest_dict = bagmod.build_dictionaries(
+                graph, rel, srcs_r, node_labels
+            )
+            current.append(
+                MetapathState(
+                    path=[rel],
+                    score=loss,
+                    edge_dict=edge_dict,
+                    dest_dict=dest_dict,
+                    node_labels=node_labels.copy(),
+                    source_nodes=srcs_r,
+                )
+            )
+
+        final_paths: List[List[int]] = [list(s.path) for s in current]
+        start_hop = 0
+        save_frontier(0, current, final_paths)
+    else:
+        current = resume["current"]
+        final_paths = resume["final_paths"]
+        start_hop = resume["hop"]
 
     # ------------------------------------------------------- hops 1..max
-    for k in range(cfg.max_extension_hops):
+    for k in range(start_hop, cfg.max_extension_hops):
         next_states: List[MetapathState] = []
         for state in current:
             t0 = time.time()
@@ -203,6 +250,7 @@ def find_metapaths(
                     )
                 )
         current = next_states
+        save_frontier(k + 1, current, final_paths)
         if not current:
             break
 

@@ -66,3 +66,34 @@ def test_search_recovers_length3_planted_metapath():
     )
     assert planted in res.discovered
     assert res.val_f1_by_path[str(planted)] >= 0.9
+
+
+def test_frontier_checkpoint_resume(tmp_path):
+    """An interrupted search resumes from the saved frontier without
+    re-running earlier hops."""
+    g = generate_synthetic_graph(600, 4, "red-red-blue", seed=2)
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=4, labels=g["labels"],
+    )
+    split = split_nodes(g["labels"])
+    cfg = SearchConfig(
+        mpgnn=MPGNNConfig(epochs=50, hidden_dim=16),
+        scorer=ScorerConfig(max_restarts=3),
+        max_extension_hops=1,
+    )
+    ck = str(tmp_path / "frontier.pkl")
+    res1 = find_metapaths(
+        graph, g["labels"].astype(np.float32), split, num_classes=2,
+        config=cfg, dataset="synthetic", seed=0, frontier_checkpoint=ck,
+    )
+    import os
+
+    assert os.path.exists(ck)
+    # a second run resumes (final frontier has hop=1) and still produces
+    # the same discovered set
+    res2 = find_metapaths(
+        graph, g["labels"].astype(np.float32), split, num_classes=2,
+        config=cfg, dataset="synthetic", seed=0, frontier_checkpoint=ck,
+    )
+    assert res2.discovered == res1.discovered
