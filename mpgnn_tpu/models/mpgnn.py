@@ -79,7 +79,10 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
       ('ell', nbr, nbr_mask)       — padded neighbor-table gather
       ('dense', adj, adj_t)        — normalized adjacency GEMM (MXU path;
                                      transpose precomputed for the VJP)
-    All three compute the same mean (zero rows for edgeless sources)."""
+      ('onehot', fwd, bwd)         — scatter-free block one-hot batched GEMM
+    ('fused', operand, interp) is handled directly in mpgnn_forward (the
+    Pallas kernel fuses the whole conv, not just aggregation). All backends
+    compute the same mean (zero rows for edgeless sources)."""
     kind = op[0]
     if kind == "segment":
         _, src, dst, mask = op
