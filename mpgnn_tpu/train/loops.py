@@ -132,12 +132,15 @@ def train_mpgnn(
     track_best: bool = False,
     x_override: Optional[np.ndarray] = None,
     backend: str = "segment",
+    class_weighted: bool = False,
 ) -> MPGNNTrainResult:
     """Train an MPGNN on the given metapath set; full-graph, jitted scan.
 
     Mirrors mpgnn_parallel_multiple (main.py:1117-1134): NLL on train_idx
     (class weights are computed but NOT applied in the reference,
-    main.py:1065), Adam(0.01, wd=5e-4), 1000 epochs, dropout 0.6."""
+    main.py:1065 — ``class_weighted=True`` opts into applying the balanced
+    weights, as the reference's RGCN baseline does at main_rgcn.py:379),
+    Adam(0.01, wd=5e-4), 1000 epochs, dropout 0.6."""
     cfg = cfg or MPGNNConfig()
     metapaths = [list(mp) for mp in metapaths]
     x = jnp.asarray(x_override if x_override is not None else graph.x)
@@ -194,14 +197,26 @@ def train_mpgnn(
     )
     tx = make_optimizer(cfg)
 
+    if class_weighted:
+        counts = np.bincount(np.asarray(split.train_y), minlength=num_classes)
+        counts = np.maximum(counts, 1)
+        cw = jnp.asarray(
+            len(split.train_y) / (num_classes * counts), dtype=jnp.float32
+        )
+    else:
+        cw = None
+
     def loss_fn(params, rng, ops):
         out = mpgnn_forward(
             params, x, ops,
             dropout_rate=cfg.dropout, dropout_rng=rng, train=True,
         )
         logp = out[train_idx]
-        nll = -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], axis=1))
-        return nll
+        per = -jnp.take_along_axis(logp, train_y[:, None], axis=1)[:, 0]
+        if cw is None:
+            return jnp.mean(per)
+        w = cw[train_y]
+        return jnp.sum(per * w) / jnp.sum(w)
 
     def eval_metrics(params, ops):
         out = mpgnn_forward(params, x, ops, train=False)
