@@ -55,7 +55,12 @@ def bench_jax(graph, labels):
     from mpgnn_tpu.config import MPGNNConfig
     from mpgnn_tpu.graph.io import split_nodes
     from mpgnn_tpu.models.mpgnn import init_mpgnn, mpgnn_forward
-    from mpgnn_tpu.train.loops import build_hop_arrays, make_optimizer
+    from mpgnn_tpu.train.loops import (
+        build_hop_arrays,
+        make_optimizer,
+        retag_hop_ops,
+        split_hop_ops,
+    )
 
     split = split_nodes(labels)
     cfg = MPGNNConfig(epochs=EPOCHS_TPU, hidden_dim=HIDDEN)
@@ -77,20 +82,10 @@ def bench_jax(graph, labels):
     best = (0.0, None)
     for backend in backends:
         hop_ops = build_hop_arrays(graph, [METAPATH], backend=backend)
-        # large operands (dense adjacencies) must be jit ARGUMENTS, not
-        # closure constants (remote-compile payload limits); pallas blockings
-        # carry static metadata and stay closure-side
-        kinds = [[op if op[0] == "pallas" else op[0] for op in ops]
-                 for ops in hop_ops]
-        data = [[() if op[0] == "pallas" else tuple(op[1:]) for op in ops]
-                for ops in hop_ops]
+        kinds, data = split_hop_ops(hop_ops)
 
         def retag(d):
-            return [
-                [k if isinstance(k, tuple) else (k,) + tuple(dd)
-                 for k, dd in zip(krow, drow)]
-                for krow, drow in zip(kinds, d)
-            ]
+            return retag_hop_ops(kinds, d)
 
         def loss_fn(p, rng, ops):
             out = mpgnn_forward(

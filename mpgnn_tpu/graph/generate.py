@@ -21,7 +21,7 @@ pandas row loops; outputs follow the same distributions and format.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

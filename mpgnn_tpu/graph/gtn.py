@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Sequence
-
 import numpy as np
 
 from mpgnn_tpu.graph.hetero import HeteroGraph, NodeSplit

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from mpgnn_tpu.ops.segment import segment_sum
-from mpgnn_tpu.ops.spmm import rel_mean_aggregate
 
 
 class RelConvParams(NamedTuple):

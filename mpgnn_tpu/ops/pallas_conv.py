@@ -19,7 +19,7 @@ chips (mpgnn_tpu.parallel).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

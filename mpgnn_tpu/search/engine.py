@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -31,7 +31,6 @@ from mpgnn_tpu.config import SearchConfig
 from mpgnn_tpu.graph.hetero import HeteroGraph, NodeSplit
 from mpgnn_tpu.search import bags as bagmod
 from mpgnn_tpu.search.scoring import (
-    BagScore,
     retrain_bags_predictions,
     score_relations_bags,
     score_relations_flat,

@@ -10,7 +10,6 @@ pool, with the batch axis keeping the MXU fed.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import jax

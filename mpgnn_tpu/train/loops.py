@@ -104,6 +104,47 @@ def build_hop_arrays(
     return hop_ops
 
 
+def split_hop_ops(hop_ops):
+    """Split tagged hop ops into (static kinds, dynamic array pytrees).
+
+    Large operands (dense adjacencies, fused-kernel A/A^T) must enter jit as
+    ARGUMENTS — embedded constants bloat the serialized HLO and break
+    remote-compile payload limits. Static metadata (kind tags, fused
+    num_rows/interpret, onehot blockings with their eager incidence) stays
+    closure-side."""
+    def split_op(op):
+        if op[0] == "onehot":
+            return op, ()
+        if op[0] == "fused":
+            _, operand, interp = op
+            return ("fused", operand.num_rows, interp), (operand.a, operand.a_t)
+        return op[0], tuple(op[1:])
+
+    kinds = [[split_op(op)[0] for op in ops] for ops in hop_ops]
+    data = [[split_op(op)[1] for op in ops] for ops in hop_ops]
+    return kinds, data
+
+
+def retag_hop_ops(hop_kinds, hop_data):
+    """Rebuild tagged hop ops inside a trace from static kinds + arg data."""
+    from mpgnn_tpu.ops.pallas_conv import DenseConvOperand
+
+    out = []
+    for krow, drow in zip(hop_kinds, hop_data):
+        r = []
+        for k, d in zip(krow, drow):
+            if isinstance(k, tuple) and k[0] == "fused":
+                _, num_rows, interp = k
+                a, a_t = d
+                r.append(("fused", DenseConvOperand(a, a_t, num_rows), interp))
+            elif isinstance(k, tuple):
+                r.append(k)
+            else:
+                r.append((k,) + tuple(d))
+        out.append(r)
+    return out
+
+
 @dataclasses.dataclass
 class MPGNNTrainResult:
     params: MPGNNParams
@@ -151,37 +192,10 @@ def train_mpgnn(
     # (and break remote-compile payload limits).
     # pallas ops carry static blocking metadata -> stay closure-side; other
     # backends' operands travel as jit arguments.
-    def split_op(op):
-        """(static part, dynamic arrays) per op: large operands travel as jit
-        args; static metadata stays closure-side."""
-        if op[0] == "onehot":
-            return op, ()
-        if op[0] == "fused":
-            _, operand, interp = op
-            return ("fused", operand.num_rows, interp), (operand.a, operand.a_t)
-        return op[0], tuple(op[1:])
-
-    hop_kinds = [[split_op(op)[0] for op in ops] for ops in hop_ops]
-    hop_data = [[split_op(op)[1] for op in ops] for ops in hop_ops]
+    hop_kinds, hop_data = split_hop_ops(hop_ops)
 
     def retag(data):
-        from mpgnn_tpu.ops.pallas_conv import DenseConvOperand
-
-        out = []
-        for i, row in enumerate(data):
-            r = []
-            for j, d in enumerate(row):
-                k = hop_kinds[i][j]
-                if isinstance(k, tuple) and k[0] == "fused":
-                    _, num_rows, interp = k
-                    a, a_t = d
-                    r.append(("fused", DenseConvOperand(a, a_t, num_rows), interp))
-                elif isinstance(k, tuple):
-                    r.append(k)
-                else:
-                    r.append((k,) + tuple(d))
-            out.append(r)
-        return out
+        return retag_hop_ops(hop_kinds, data)
 
     train_idx = jnp.asarray(split.train_idx)
     train_y = jnp.asarray(split.train_y)
