@@ -78,7 +78,7 @@ def bench_jax(graph, labels):
 
     backends = ("segment", "ell", "dense", "pallas") if os.environ.get(
         "BENCH_ALL_BACKENDS"
-    ) else ("segment", "ell")
+    ) else ("segment", "dense")
     best = (0.0, None)
     for backend in backends:
         hop_ops = build_hop_arrays(graph, [METAPATH], backend=backend)

@@ -97,3 +97,22 @@ def test_frontier_checkpoint_resume(tmp_path):
         config=cfg, dataset="synthetic", seed=0, frontier_checkpoint=ck,
     )
     assert res2.discovered == res1.discovered
+
+
+def test_search_deterministic_given_seed():
+    g = generate_synthetic_graph(500, 4, "red-red-blue", seed=9)
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=4, labels=g["labels"],
+    )
+    split = split_nodes(g["labels"])
+    cfg = SearchConfig(
+        mpgnn=MPGNNConfig(epochs=40, hidden_dim=16),
+        scorer=ScorerConfig(max_restarts=3),
+        max_extension_hops=1,
+    )
+    kw = dict(config=cfg, dataset="synthetic", seed=0)
+    r1 = find_metapaths(graph, g["labels"].astype(np.float32), split, 2, **kw)
+    r2 = find_metapaths(graph, g["labels"].astype(np.float32), split, 2, **kw)
+    assert r1.discovered == r2.discovered
+    assert r1.val_f1_by_path == r2.val_f1_by_path
