@@ -41,7 +41,7 @@ def main(argv=None):
         g = generate_synthetic_graph(
             args.num_nodes, args.max_rel_for_node, args.metapath,
             overlap=args.overlap, shared_relations=args.shared_relations,
-            seed=args.seed, out_dir=args.out,
+            seed=args.seed, out_dir=args.out, metapath2=args.metapath2,
         )
         print(
             f"wrote {args.out}: {args.num_nodes} nodes, {len(g['src'])} edges, "

