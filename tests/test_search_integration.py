@@ -116,3 +116,47 @@ def test_search_deterministic_given_seed():
     r2 = find_metapaths(graph, g["labels"].astype(np.float32), split, 2, **kw)
     assert r1.discovered == r2.discovered
     assert r1.val_f1_by_path == r2.val_f1_by_path
+
+
+@pytest.mark.slow
+def test_multiclass_one_vs_rest_search():
+    """Multi-class flow (reference main.py:1214): one-vs-rest binarization,
+    one search per class; each class's search should discover its own
+    planted metapath."""
+    from mpgnn_tpu.graph.io import binarize_labels
+
+    g = generate_synthetic_graph(
+        1200, 4, "red-red-blue", seed=13, metapath2="blue-blue-red",
+    )
+    p1 = g["metapath_relations"]
+    p2 = g["metapath2_relations"]
+    heads1 = g["embeddings"][len(p1) - 1] == 1
+    heads2 = g["embeddings"][len(p1) + len(p2) - 1] == 1
+    y = np.zeros(1200, dtype=np.int64)
+    y[heads1] = 1
+    y[heads2] = 2          # overlap resolved in favor of class 2
+    if len(np.unique(y)) < 3:
+        pytest.skip("degenerate draw: a class is empty")
+
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=4, labels=y,
+    )
+    split = split_nodes(y)
+    cfg = SearchConfig(
+        mpgnn=MPGNNConfig(epochs=80, hidden_dim=16),
+        scorer=ScorerConfig(max_restarts=3),
+        max_extension_hops=1,
+    )
+    binlabs = binarize_labels(y)
+    assert len(binlabs) == 3
+    res1 = find_metapaths(
+        graph, binlabs[1].astype(np.float32), split, num_classes=3,
+        config=cfg, dataset="synthetic", seed=0,
+    )
+    res2 = find_metapaths(
+        graph, binlabs[2].astype(np.float32), split, num_classes=3,
+        config=cfg, dataset="synthetic", seed=0,
+    )
+    assert p1 in res1.discovered
+    assert p2 in res2.discovered
