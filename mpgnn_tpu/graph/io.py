@@ -13,6 +13,7 @@ load_files_fb15k237, load_files_acm), main.py:347-372 (features/edges).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -171,10 +172,7 @@ def load_acm_style(
     return g, presplit, binarize_labels(labels)
 
 
-import dataclasses as _dc
-
-
-@_dc.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True)
 class PreSplitLabels:
     """Pre-split labels as shipped by ACM/DBLP/IMDB datasets."""
 
