@@ -8,6 +8,12 @@ backend — the single-chip scaling story (multi-chip: see bench_scaling.py).
     python examples/large_scale_throughput.py [--nodes 50000] [--avg-deg 20]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import sys

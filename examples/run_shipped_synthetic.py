@@ -1,4 +1,10 @@
 """Full-budget search runs on the shipped synthetic datasets (TPU)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import logging, time, json
 logging.basicConfig(level=logging.INFO)
 from mpgnn_tpu.utils.prof import enable_compilation_cache

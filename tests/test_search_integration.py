@@ -160,3 +160,38 @@ def test_multiclass_one_vs_rest_search():
     )
     assert p1 in res1.discovered
     assert p2 in res2.discovered
+
+
+@pytest.mark.slow
+def test_search_with_shared_relation_vocabulary():
+    """Harder grid point (overlap=0, shared_relations=1: two relation ids
+    per color pair, 8 relations total — reference generator table :71-77):
+    the search must still seed with plausible relations and rank the planted
+    path at the top."""
+    g = generate_synthetic_graph(
+        1500, 4, "red-red-blue", overlap=0, shared_relations=1, seed=21
+    )
+    planted = g["metapath_relations"]
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=8, labels=g["labels"],
+    )
+    split = split_nodes(g["labels"])
+    cfg = SearchConfig(
+        mpgnn=MPGNNConfig(epochs=120, hidden_dim=32),
+        scorer=ScorerConfig(max_restarts=4),
+        max_extension_hops=1,
+    )
+    res = find_metapaths(
+        graph, g["labels"].astype(np.float32), split, num_classes=2,
+        config=cfg, dataset="synthetic", seed=0,
+    )
+    # hop-0 must identify the planted path's final relation even among the
+    # doubled vocabulary; full extension can die faithfully on the
+    # reference's exactly-3-candidates empty-selection branch
+    # (main.py:1418-1424), so only require the 1-hop seed to be right and,
+    # when the full path IS discovered, that it ranks at the top.
+    assert [planted[-1]] in res.discovered
+    if str(planted) in res.val_f1_by_path:
+        best = max(res.val_f1_by_path.values())
+        assert res.val_f1_by_path[str(planted)] >= best - 0.02
