@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["segment", "ell", "dense", "pallas", "onehot"])
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--save_model", type=str, default=None,
+                   help="directory to save the final joint model's "
+                        "parameters (orbax) per class")
     return p
 
 
@@ -127,6 +130,22 @@ def main(argv=None):
         results[list_index] = res
         if ckpt:
             ckpt.save(list_index, res)
+        if args.save_model and res.metapaths:
+            from mpgnn_tpu.train.loops import train_mpgnn
+            from mpgnn_tpu.utils.checkpoint import save_params
+
+            final = train_mpgnn(
+                graph, res.metapaths, split, num_classes,
+                cfg.mpgnn, seed=args.seed, x_override=x,
+                backend=args.backend,
+            )
+            save_params(
+                f"{args.save_model}/class_{list_index}", final.params
+            )
+            logging.info(
+                "class %d final model saved (val F1 %.4f)",
+                list_index, final.val_f1,
+            )
         print(
             f"class {list_index}: final meta: {res.metapaths} "
             f"test acc: {res.test_f1:.4f}",

@@ -83,3 +83,20 @@ def test_rgcn_baseline_cli(dataset):
     )
     assert r.returncode == 0, r.stderr[-1000:]
     assert "test F1" in r.stdout
+
+
+@pytest.mark.slow
+def test_run_cli_save_model(dataset, tmp_path):
+    out = str(tmp_path / "models")
+    cmd = [
+        sys.executable, "-m", "mpgnn_tpu.run",
+        "--hidden_dim", "16", "--dataset", "synthetic",
+        "--folder", dataset, "--node_file", "node.dat",
+        "--link_file", "link.dat", "--label_file", "label.dat",
+        "--epochs", "30", "--max_hops", "1", "--save_model", out,
+    ]
+    r = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, env=_env(), timeout=420
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isdir(os.path.join(out, "class_0"))
