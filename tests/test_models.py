@@ -174,3 +174,40 @@ def test_basis_and_block_decomposition():
             np.asarray(h)[:, b * bi:(b + 1) * bi] @ np.asarray(bw)[b]
         )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_relation_hop_is_root_only():
+    """A metapath hop over a relation with zero edges must produce zero
+    aggregation (root + bias only) — the torch.zeros base of
+    mp_rgcn_layer.py:198."""
+    src = np.array([0, 1])
+    dst = np.array([1, 2])
+    rel = np.array([0, 0])
+    g = HeteroGraph(np.ones((4, 3), np.float32), src, dst, rel, num_relations=2)
+    params = init_mpgnn(jax.random.PRNGKey(0), 3, 4, 2, [[1]])  # relation 1: no edges
+    ops = build_hop_arrays(g, [[1]], pad_multiple=8)
+    out = mpgnn_forward(params, jnp.asarray(g.x), ops, train=False)
+    conv = params.convs[0][0]
+    h = jax.nn.relu(jnp.asarray(g.x) @ conv.root + conv.bias)
+    h = jax.nn.relu(h @ params.fc1.w + params.fc1.b)
+    want = jax.nn.log_softmax(h @ params.fc2.w + params.fc2.b, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_duplicate_and_self_loop_edges_counted_with_multiplicity():
+    """Duplicate edges contribute with multiplicity and self-loops are legal
+    (the reference never dedups edge_index)."""
+    src = np.array([0, 0, 0, 1])
+    dst = np.array([1, 1, 2, 1])   # (0->1) twice, plus a self-loop at 1
+    rel = np.zeros(4, dtype=np.int64)
+    x = np.array([[1.0], [2.0], [4.0]], np.float32)
+    g = HeteroGraph(x, src, dst, rel, num_relations=1)
+    from mpgnn_tpu.ops import rel_mean_aggregate
+    from mpgnn_tpu.ops.spmm import dense_adjacency
+
+    s, d = g.rel_edges(0)
+    agg = np.asarray(rel_mean_aggregate(jnp.asarray(x), jnp.asarray(s), jnp.asarray(d), 3))
+    # node 0: mean(2, 2, 4) = 8/3 ; node 1: mean(2) = 2
+    np.testing.assert_allclose(agg[:, 0], [8 / 3, 2.0, 0.0], rtol=1e-6)
+    adj, _ = dense_adjacency(s, d, 3)
+    np.testing.assert_allclose(np.asarray(adj @ jnp.asarray(x))[:, 0], [8 / 3, 2.0, 0.0], rtol=1e-6)
