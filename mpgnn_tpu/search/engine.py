@@ -261,9 +261,16 @@ def find_metapaths(
     if batched_eval:
         from mpgnn_tpu.train.batch_eval import evaluate_candidates
 
+        # dense batched eval turns the per-candidate scatters (which
+        # serialize under vmap on TPU) into per-unique-relation batched
+        # GEMMs; pick it when the adjacencies fit comfortably in HBM
+        uniq = {int(r) for p in final_paths for r in p}
+        dense_bytes = len(uniq) * graph.num_nodes ** 2 * 2 * 2  # A + A^T bf16
+        eval_backend = "dense" if dense_bytes < 4e9 else "segment"
+        log.info("final eval backend: %s", eval_backend)
         val_by_path = evaluate_candidates(
             graph, final_paths, split, num_classes, cfg.mpgnn,
-            seed=seed, x_override=x,
+            seed=seed, x_override=x, backend=eval_backend,
         )
         for path_s, f1 in val_by_path.items():
             log.info("eval %s: val F1 %.4f", path_s, f1)

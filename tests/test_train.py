@@ -188,3 +188,17 @@ def test_acm_style_loader(tmp_path):
     s = presplit.as_split()
     np.testing.assert_array_equal(s.train_idx, [0, 1])
     assert len(binlabs) == 1
+
+
+def test_batched_eval_dense_matches_segment(planted):
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=60, hidden_dim=16)
+    paths = [[1, 0], [0, 1], [2, 3], [1]]
+    a = evaluate_candidates(graph, paths, split, 2, cfg, seed=3)
+    b = evaluate_candidates(graph, paths, split, 2, cfg, seed=3, backend="dense")
+    for p in paths:
+        # bf16 adjacency + different dropout streams -> small tolerance
+        assert abs(a[str(p)] - b[str(p)]) < 0.08, (p, a[str(p)], b[str(p)])
