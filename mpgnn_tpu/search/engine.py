@@ -261,16 +261,15 @@ def find_metapaths(
     if batched_eval:
         from mpgnn_tpu.train.batch_eval import evaluate_candidates
 
-        # dense batched eval turns the per-candidate scatters (which
-        # serialize under vmap on TPU) into per-unique-relation batched
-        # GEMMs; pick it when the adjacencies fit comfortably in HBM
-        uniq = {int(r) for p in final_paths for r in p}
-        dense_bytes = len(uniq) * graph.num_nodes ** 2 * 2 * 2  # A + A^T bf16
-        eval_backend = "dense" if dense_bytes < 4e9 else "segment"
-        log.info("final eval backend: %s", eval_backend)
+        # measured on hardware: the vmapped segment path (44.5s for 30
+        # candidates x 1000 epochs on the shipped len-3 graph) beats the
+        # dense batched-GEMM path (423s warm) — the per-relation NxN GEMM
+        # against every candidate does Ru x C x N^2 x F work while the
+        # scatters, though serialized, touch only E rows. segment stays the
+        # default; 'dense' remains available via evaluate_candidates.
         val_by_path = evaluate_candidates(
             graph, final_paths, split, num_classes, cfg.mpgnn,
-            seed=seed, x_override=x, backend=eval_backend,
+            seed=seed, x_override=x,
         )
         for path_s, f1 in val_by_path.items():
             log.info("eval %s: val F1 %.4f", path_s, f1)
