@@ -69,3 +69,35 @@ def test_sharded_train_step_runs_and_learns(mesh):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] + 1e-3  # moving, not diverging
+
+
+def test_sharded_relation_sweep_matches_unsharded():
+    """The relation sweep sharded over a 'rel' mesh axis produces the same
+    losses as the single-device sweep (the reference's np.array_split
+    fan-out, main.py:1319, as a sharding annotation)."""
+    from mpgnn_tpu.parallel import make_mesh, sharded_flat_sweep_args
+    from mpgnn_tpu.search.scoring import _flat_sweep
+
+    rng = np.random.default_rng(0)
+    R, N, D = 8, 64, 4
+    nbr = rng.integers(0, N, (R, N, D)).astype(np.int32)
+    mask = rng.random((R, N, D)) > 0.3
+    w0 = rng.random((R, N)).astype(np.float32)
+    lmask = (rng.random((R, N)) > 0.5).astype(np.float32)
+    y = rng.random(N).astype(np.float32)
+
+    w_ref, loss_ref = _flat_sweep(
+        jnp.asarray(w0), jnp.asarray(nbr), jnp.asarray(mask),
+        jnp.asarray(lmask), jnp.asarray(y), epochs=5, lr=0.1,
+    )
+
+    mesh = make_mesh((8,), ("rel",))
+    w0s, nbrs, masks, lmasks = sharded_flat_sweep_args(
+        mesh, w0, nbr, mask, lmask
+    )
+    w_sh, loss_sh = _flat_sweep(
+        w0s, nbrs, masks, lmasks, jnp.asarray(y), epochs=5, lr=0.1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loss_ref), np.asarray(loss_sh), rtol=1e-5, atol=1e-6
+    )
