@@ -11,6 +11,12 @@ from mpgnn_tpu.parallel.shard import (
     sharded_flat_sweep_args,
     shard_edges,
 )
+from mpgnn_tpu.parallel.halo import (
+    HaloPlan,
+    build_halo_plan,
+    halo_sharded_mean_aggregate,
+    pad_node_features,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +26,8 @@ __all__ = [
     "build_sharded_train_step",
     "sharded_flat_sweep_args",
     "shard_edges",
+    "HaloPlan",
+    "build_halo_plan",
+    "halo_sharded_mean_aggregate",
+    "pad_node_features",
 ]

@@ -1,0 +1,191 @@
+"""Node-sharded aggregation with halo exchange — the BASELINE north star.
+
+Unlike ``edge_partitioned_aggregate`` (edges sharded, node features
+replicated, psum of full [N, F] partials), this path shards the NODE
+feature array itself across the mesh, so graphs whose node state exceeds
+one chip's HBM still train:
+
+* nodes are block-partitioned: device p owns rows [p*S, (p+1)*S);
+* each device owns the edges whose aggregation target (source column)
+  falls in its block — output rows stay local, no result communication;
+* the destination features a device needs from other devices (its halo)
+  are exchanged with ONE ``all_to_all`` of statically padded per-pair
+  buffers over ICI;
+* edges are split into LOCAL (destination owned by the same device) and
+  REMOTE: the local partial sum is computed between the halo send and its
+  first use, giving XLA's latency-hiding scheduler room to overlap the
+  collective with compute (SURVEY §5's "all-to-all boundary exchange
+  overlapped with local aggregation").
+
+All shapes are static: the halo plan (per-pair node lists, per-device edge
+lists, slot tables) is built host-side once per (graph, relation, mesh
+size) in ``build_halo_plan``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+class HaloPlan(NamedTuple):
+    """Static per-shard structures (leading axis = shard)."""
+
+    num_shards: int
+    block: int              # nodes per shard (padded)
+    halo_max: int           # per-(q,p) halo buffer rows
+    edge_max: int           # per-shard edge capacity
+    # [P, E_max] local source row of each edge (aggregation target)
+    edge_src_local: jax.Array
+    # [P, E_max] slot of each edge's destination in concat(local, halo)
+    edge_dst_slot: jax.Array
+    edge_mask: jax.Array    # [P, E_max]
+    # [P, P, H_max] local row ids this shard sends to each peer (+ mask)
+    send_idx: jax.Array
+    send_mask: jax.Array
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    return 1 << (max(n, lo) - 1).bit_length()
+
+
+def build_halo_plan(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, num_shards: int
+) -> HaloPlan:
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    S = -(-num_nodes // num_shards)
+    owner_src = src // S
+    owner_dst = dst // S
+
+    # per-(q, p) halo node lists: nodes owned by q that p's edges read
+    halo_ids = [[None] * num_shards for _ in range(num_shards)]
+    halo_pos = [dict() for _ in range(num_shards)]  # per p: global dst -> slot
+    h_needed = 0
+    for p in range(num_shards):
+        sel = owner_src == p
+        for q in range(num_shards):
+            if q == p:
+                halo_ids[q][p] = np.zeros(0, np.int64)
+                continue
+            need = np.unique(dst[sel & (owner_dst == q)])
+            halo_ids[q][p] = need
+            h_needed = max(h_needed, len(need))
+    H = _pow2(h_needed, lo=8)
+
+    for p in range(num_shards):
+        for q in range(num_shards):
+            for slot, v in enumerate(halo_ids[q][p]):
+                # slot within concat(local, halo): local block is S rows,
+                # then q's halo chunk starts at S + q*H
+                halo_pos[p][int(v)] = S + q * H + slot
+
+    counts = np.bincount(owner_src, minlength=num_shards)
+    E = _pow2(int(counts.max()) if len(counts) else 1, lo=8)
+
+    e_src = np.zeros((num_shards, E), np.int32)
+    e_slot = np.zeros((num_shards, E), np.int32)
+    e_mask = np.zeros((num_shards, E), bool)
+    for p in range(num_shards):
+        sel = np.nonzero(owner_src == p)[0]
+        n = len(sel)
+        e_src[p, :n] = (src[sel] - p * S).astype(np.int32)
+        slots = np.empty(n, np.int32)
+        local = owner_dst[sel] == p
+        slots[local] = (dst[sel][local] - p * S).astype(np.int32)
+        pos = halo_pos[p]
+        slots[~local] = np.array(
+            [pos[int(v)] for v in dst[sel][~local]], np.int32
+        )
+        e_slot[p, :n] = slots
+        e_mask[p, :n] = True
+
+    send_idx = np.zeros((num_shards, num_shards, H), np.int32)
+    send_mask = np.zeros((num_shards, num_shards, H), bool)
+    for q in range(num_shards):
+        for p in range(num_shards):
+            ids = halo_ids[q][p]
+            send_idx[q, p, : len(ids)] = (ids - q * S).astype(np.int32)
+            send_mask[q, p, : len(ids)] = True
+
+    return HaloPlan(
+        num_shards=num_shards, block=S, halo_max=H, edge_max=E,
+        edge_src_local=jnp.asarray(e_src),
+        edge_dst_slot=jnp.asarray(e_slot),
+        edge_mask=jnp.asarray(e_mask),
+        send_idx=jnp.asarray(send_idx),
+        send_mask=jnp.asarray(send_mask),
+    )
+
+
+def pad_node_features(x: np.ndarray, plan: HaloPlan) -> np.ndarray:
+    n_pad = plan.num_shards * plan.block
+    out = np.zeros((n_pad, x.shape[1]), x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+def halo_sharded_mean_aggregate(
+    mesh: Mesh,
+    x_sharded: jax.Array,   # [P*S, F], sharded P('nodes') on axis 0
+    plan: HaloPlan,
+    axis: str = "nodes",
+) -> jax.Array:
+    """out[i] = mean over edges (i, d) of x[d], with nodes sharded.
+
+    Returns [P*S, F] sharded like the input. Padded rows aggregate to 0."""
+    shard_map = jax.shard_map
+
+    def local_fn(x_l, e_src, e_slot, e_mask, s_idx, s_mask):
+        # x_l arrives as this device's [S, F] node block; the plan arrays
+        # arrive with a leading per-device axis of size 1 to strip
+        e_src, e_slot, e_mask = e_src[0], e_slot[0], e_mask[0]
+        s_idx, s_mask = s_idx[0], s_mask[0]
+
+        # 1. build + exchange halo buffers (one all_to_all over ICI)
+        send_buf = x_l[s_idx] * s_mask[..., None].astype(x_l.dtype)
+        halo = jax.lax.all_to_all(
+            send_buf, axis, split_axis=0, concat_axis=0, tiled=False
+        )                                            # [P, H, F]
+        halo_flat = halo.reshape(-1, x_l.shape[1])
+
+        # 2. local partial first (scheduler can overlap it with the a2a)
+        is_local = e_slot < plan.block
+        m_local = (e_mask & is_local).astype(x_l.dtype)
+        local_feats = x_l[jnp.minimum(e_slot, plan.block - 1)]
+        tot = jax.ops.segment_sum(
+            local_feats * m_local[:, None], e_src,
+            num_segments=plan.block,
+        )
+        cnt = jax.ops.segment_sum(m_local, e_src, num_segments=plan.block)
+
+        # 3. remote contribution from the halo
+        m_rem = (e_mask & ~is_local).astype(x_l.dtype)
+        rem_feats = halo_flat[
+            jnp.maximum(e_slot - plan.block, 0)
+        ]
+        tot = tot + jax.ops.segment_sum(
+            rem_feats * m_rem[:, None], e_src, num_segments=plan.block
+        )
+        cnt = cnt + jax.ops.segment_sum(m_rem, e_src, num_segments=plan.block)
+        return tot / jnp.maximum(cnt, 1.0)[:, None]
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+        ),
+        out_specs=P(axis),
+    )(
+        x_sharded,
+        plan.edge_src_local,
+        plan.edge_dst_slot,
+        plan.edge_mask,
+        plan.send_idx,
+        plan.send_mask,
+    )

@@ -101,3 +101,57 @@ def test_sharded_relation_sweep_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(loss_ref), np.asarray(loss_sh), rtol=1e-5, atol=1e-6
     )
+
+
+def test_halo_sharded_aggregate_matches_reference():
+    """Node-sharded aggregation with halo all_to_all == single-device mean
+    (nodes block-partitioned, features never replicated)."""
+    import jax.numpy as jnp
+
+    from mpgnn_tpu.parallel.halo import (
+        build_halo_plan,
+        halo_sharded_mean_aggregate,
+        pad_node_features,
+    )
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.ops import rel_mean_aggregate
+
+    rng = np.random.default_rng(3)
+    N, E, F, Pn = 100, 700, 8, 4
+    src = rng.integers(0, N, E).astype(np.int64)
+    dst = rng.integers(0, N, E).astype(np.int64)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+
+    plan = build_halo_plan(src, dst, N, Pn)
+    mesh = make_mesh((Pn,), ("nodes",), jax.devices()[:Pn])
+    x_pad = pad_node_features(x, plan)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    x_sh = jax.device_put(x_pad, NamedSharding(mesh, PartitionSpec("nodes")))
+    got = np.asarray(halo_sharded_mean_aggregate(mesh, x_sh, plan))[:N]
+    want = np.asarray(
+        rel_mean_aggregate(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), N)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_halo_plan_padded_rows_zero():
+    from mpgnn_tpu.parallel.halo import (
+        build_halo_plan,
+        halo_sharded_mean_aggregate,
+        pad_node_features,
+    )
+    from mpgnn_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    src = np.array([0, 5])
+    dst = np.array([5, 0])
+    x = np.ones((7, 4), np.float32)       # N=7 pads to 8 with 4 shards
+    plan = build_halo_plan(src, dst, 7, 4)
+    mesh = make_mesh((4,), ("nodes",), jax.devices()[:4])
+    x_sh = jax.device_put(
+        pad_node_features(x, plan), NamedSharding(mesh, PartitionSpec("nodes"))
+    )
+    out = np.asarray(halo_sharded_mean_aggregate(mesh, x_sh, plan))
+    assert np.all(out[0] == 1.0) and np.all(out[5] == 1.0)
+    assert np.all(out[1:5] == 0.0) and np.all(out[6:] == 0.0)
