@@ -189,3 +189,77 @@ def halo_sharded_mean_aggregate(
         plan.send_idx,
         plan.send_mask,
     )
+
+
+def build_node_sharded_train_step(
+    mesh: Mesh,
+    graph,
+    metapath,
+    split,
+    num_classes: int,
+    cfg=None,
+    seed: int = 0,
+    axis: str = "nodes",
+):
+    """Full MPGNN training step with NODE-SHARDED activations.
+
+    Node features and every intermediate activation stay block-partitioned
+    across ``axis``; each hop's aggregation is the halo exchange above, the
+    GEMM side is annotated for GSPMD (weights replicated, activations
+    sharded on rows), and the loss gathers the train rows across shards.
+    This is the configuration for graphs whose [N, F]/[N, H] state exceeds
+    one chip's HBM. Returns (step_fn, params, opt_state, x_sharded)."""
+    import optax
+    from jax.sharding import NamedSharding
+
+    from mpgnn_tpu.config import MPGNNConfig
+    from mpgnn_tpu.models.mpgnn import init_mpgnn
+    from mpgnn_tpu.train.loops import make_optimizer
+
+    cfg = cfg or MPGNNConfig()
+    P_n = mesh.shape[axis]
+    plans = []
+    for rel in metapath:
+        s, d = graph.rel_edges(int(rel))
+        plans.append(build_halo_plan(s, d, graph.num_nodes, P_n))
+    row_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    x_sharded = jax.device_put(pad_node_features(graph.x, plans[0]), row_sh)
+    train_idx = jax.device_put(jnp.asarray(split.train_idx), repl)
+    train_y = jax.device_put(jnp.asarray(split.train_y), repl)
+
+    params = init_mpgnn(
+        jax.random.PRNGKey(seed), graph.feat_dim, cfg.hidden_dim,
+        num_classes, [list(metapath)],
+    )
+    params = jax.device_put(params, repl)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    def forward(p, x, rng, train):
+        h = x
+        for j, plan in enumerate(plans):
+            conv = p.convs[0][j]
+            agg = halo_sharded_mean_aggregate(mesh, h, plan, axis)
+            h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
+            h = jax.lax.with_sharding_constraint(h, row_sh)
+            if train and cfg.dropout > 0:
+                k = jax.random.fold_in(rng, j)
+                keep = jax.random.bernoulli(k, 1 - cfg.dropout, h.shape)
+                h = jnp.where(keep, h / (1 - cfg.dropout), 0.0)
+        h = jax.nn.relu(h @ p.fc1.w + p.fc1.b)
+        h = h @ p.fc2.w + p.fc2.b
+        return jax.nn.log_softmax(h, axis=1)
+
+    def loss_fn(p, x, rng):
+        logp = forward(p, x, rng, True)[train_idx]   # cross-shard gather
+        return -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], axis=1))
+
+    @jax.jit
+    def step_fn(p, opt_st, x, rng):
+        loss, g = jax.value_and_grad(loss_fn)(p, x, rng)
+        upd, opt_st = tx.update(g, opt_st, p)
+        return optax.apply_updates(p, upd), opt_st, loss
+
+    return step_fn, params, opt_state, x_sharded
