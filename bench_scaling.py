@@ -56,10 +56,20 @@ def main():
     mask = np.ones(E, dtype=bool)
     x = rng.normal(size=(N, F)).astype(np.float32)
 
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from mpgnn_tpu.parallel.halo import (
+        build_halo_plan,
+        halo_sharded_mean_aggregate,
+        pad_node_features,
+    )
+
     results = {}
-    base = None
+    halo_results = {}
+    base = halo_base = None
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
     for n in counts:
+        # --- edge partitioning (features replicated, psum of partials)
         mesh = make_mesh((n,), ("data",), devices[:n])
         src_p, _ = shard_edges(src, mesh)
         dst_p, _ = shard_edges(dst, mesh)
@@ -80,20 +90,53 @@ def main():
         jax.block_until_ready(r)
         dt = (time.time() - t0) / args.iters
         eps = E / dt
-        if base is None:
-            base = eps
-        eff = eps / (base * n)
-        results[n] = {"edges_per_s": round(eps, 1), "efficiency": round(eff, 3)}
+        base = base or eps
+        results[n] = {
+            "edges_per_s": round(eps, 1),
+            "efficiency": round(eps / (base * n), 3),
+        }
         print(
-            f"{n} device(s): {eps/1e6:.2f}M edges/s "
-            f"(scaling efficiency {eff*100:.0f}%)",
+            f"[edge-partition] {n} device(s): {eps/1e6:.2f}M edges/s "
+            f"(efficiency {eps/(base*n)*100:.0f}%)",
             file=sys.stderr, flush=True,
         )
 
+        # --- node sharding with halo all_to_all (features sharded)
+        if n > 1:
+            node_mesh = make_mesh((n,), ("nodes",), devices[:n])
+            plan = build_halo_plan(src, dst, N, n)
+            x_sh = jax.device_put(
+                pad_node_features(x, plan),
+                NamedSharding(node_mesh, PartitionSpec("nodes")),
+            )
+
+            @jax.jit
+            def hagg(x_sh):
+                return halo_sharded_mean_aggregate(node_mesh, x_sh, plan)
+
+            r = hagg(x_sh)
+            jax.block_until_ready(r)
+            t0 = time.time()
+            for _ in range(args.iters):
+                r = hagg(x_sh)
+            jax.block_until_ready(r)
+            dt = (time.time() - t0) / args.iters
+            heps = E / dt
+            halo_base = halo_base or heps / n
+            halo_results[n] = {
+                "edges_per_s": round(heps, 1),
+                "efficiency": round(heps / (halo_base * n), 3),
+            }
+            print(
+                f"[halo-sharded]   {n} device(s): {heps/1e6:.2f}M edges/s",
+                file=sys.stderr, flush=True,
+            )
+
     print(json.dumps({
-        "metric": "edge_partitioned_agg_scaling",
+        "metric": "multi_device_agg_scaling",
         "platform": devices[0].platform,
-        "results": results,
+        "edge_partitioned": results,
+        "halo_sharded": halo_results,
     }))
 
 
