@@ -32,7 +32,7 @@ from mpgnn_tpu.graph.hetero import HeteroGraph, NodeSplit
 from mpgnn_tpu.search import bags as bagmod
 from mpgnn_tpu.search.scoring import (
     retrain_bags_predictions,
-    score_relations_bags,
+    score_bag_tasks,
     score_relations_flat,
 )
 from mpgnn_tpu.train.loops import train_mpgnn
@@ -183,8 +183,14 @@ def find_metapaths(
     # ------------------------------------------------------- hops 1..max
     for k in range(start_hop, cfg.max_extension_hops):
         next_states: List[MetapathState] = []
-        for state in current:
-            t0 = time.time()
+        # phase 1: build every state's bags + candidate relations, then
+        # sweep the WHOLE frontier as one batched device program per restart
+        # round (the reference runs one MPI fan-out per metapath here,
+        # main.py:1381-1408)
+        t0 = time.time()
+        hop_tasks = []
+        state_info = {}
+        for si, state in enumerate(current):
             bag_list, bag_labels = bagmod.create_bags(
                 state.edge_dict, state.dest_dict, cfg.bags.positive_min_label
             )
@@ -194,9 +200,23 @@ def find_metapaths(
             rels = bagmod.connected_relations(graph, bag_members=members)
             if not rels:
                 continue
-            scores = score_relations_bags(
-                graph, rels, bag_list, bag_labels, cfg.scorer, rng, x=x
-            )
+            hop_tasks.append((si, rels, bag_list, bag_labels))
+            state_info[si] = (state, rels, bag_list, bag_labels)
+        if not hop_tasks:
+            current = []
+            save_frontier(k + 1, current, final_paths)
+            break
+        all_scores = score_bag_tasks(graph, hop_tasks, cfg.scorer, rng, x=x)
+        log.info(
+            "hop %d: swept %d states / %d (state, relation) instances in %.1fs",
+            k + 1, len(hop_tasks),
+            sum(len(t[1]) for t in hop_tasks), time.time() - t0,
+        )
+
+        # phase 2: per-state selection + extension
+        for si, (state, rels, bag_list, bag_labels) in state_info.items():
+            t0 = time.time()
+            scores = all_scores[si]
             valid = [
                 scores[r] for r in rels if not scores[r].degenerate
             ]

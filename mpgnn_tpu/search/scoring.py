@@ -230,11 +230,13 @@ def _bag_round(
     w0, u0, nbr, nbr_mask, bags, member_mask, bag_labels, bag_keep,
     grad_mask, frozen_mask, x, *, epochs: int, lr: float,
 ):
-    """One restart round (50 epochs) for all relations at once.
+    """One restart round (50 epochs) for all instances at once.
 
-    Shapes: w0 [R,N], u0 [R,F], nbr/nbr_mask [R,N,D], bags [B,M] shared,
-    member_mask [R,B,M], bag_labels [B], bag_keep [R,B], grad_mask [R,N],
-    frozen_mask [R,N] (frozen values = w0 entries), x [N,F].
+    An "instance" is one (search-state, relation) pair — instances from
+    DIFFERENT metapath states batch together, so a whole frontier hop is one
+    device program. Shapes: w0 [R,N], u0 [R,F], nbr/nbr_mask [R,N,D],
+    bags [R,B,M], member_mask [R,B,M], bag_labels [R,B], bag_keep [R,B],
+    grad_mask [R,N], frozen_mask [R,N] (frozen values = w0 entries), x [N,F].
 
     Returns (w, u, final_loss [R], per_bag_loss [R,B], bag_winner [R,B],
     member_value [R,N])."""
@@ -242,7 +244,8 @@ def _bag_round(
 
     opt = optax.adam(lr)
 
-    def one_relation(w0_r, u0_r, nbr_r, mask_r, mmask_r, keep_r, gmask_r, fmask_r):
+    def one_relation(w0_r, u0_r, nbr_r, mask_r, bags, bag_labels, mmask_r,
+                     keep_r, gmask_r, fmask_r):
         denom = jnp.maximum(jnp.sum(keep_r), 1.0)
         has_edge = jnp.any(mask_r, axis=-1)
 
@@ -304,7 +307,8 @@ def _bag_round(
         return w, u, loss, per_bag, winner, member_value
 
     return jax.vmap(one_relation)(
-        w0, u0, nbr, nbr_mask, member_mask, bag_keep, grad_mask, frozen_mask
+        w0, u0, nbr, nbr_mask, bags, bag_labels, member_mask, bag_keep,
+        grad_mask, frozen_mask,
     )
 
 
@@ -360,8 +364,8 @@ def retrain_bags_predictions(
 
     _, _, _, _, _, member_value = _bag_round(
         jnp.asarray(w0), jnp.asarray(u0), jnp.asarray(nbr), jnp.asarray(mask),
-        jnp.asarray(bags_arr), jnp.asarray(member_mask),
-        jnp.asarray(bag_labels), jnp.asarray(bag_keep),
+        jnp.asarray(bags_arr)[None], jnp.asarray(member_mask),
+        jnp.asarray(bag_labels)[None], jnp.asarray(bag_keep),
         jnp.ones((1, N), jnp.float32), jnp.zeros((1, N), bool),
         jnp.asarray(x), epochs=cfg.epochs_bags, lr=cfg.lr,
     )
@@ -379,61 +383,112 @@ def score_relations_bags(
     x: Optional[np.ndarray] = None,
 ) -> Dict[int, BagScore]:
     """Bag sweep with restarts (score_relation_bags_parallel parity,
-    main.py:853-917), all relations vmapped per restart round; the
-    data-dependent restart control flow stays on host."""
+    main.py:853-917) for one search state; see ``score_bag_tasks`` for the
+    multi-state batched form the engine uses."""
+    return score_bag_tasks(
+        graph, [(0, relations, bags, bag_labels)], cfg, rng, x
+    )[0]
+
+
+def score_bag_tasks(
+    graph: HeteroGraph,
+    tasks: Sequence,
+    cfg: ScorerConfig = ScorerConfig(),
+    rng: Optional[np.random.Generator] = None,
+    x: Optional[np.ndarray] = None,
+) -> Dict:
+    """Bag sweeps for MANY search states at once.
+
+    ``tasks`` is a list of ``(task_id, relations, bags, bag_labels)``; every
+    (task, relation) pair becomes one vmapped instance, so an entire
+    frontier hop — the reference's per-metapath MPI fan-outs
+    (main.py:1381-1408) — runs as ONE device program per restart round.
+    Returns ``{task_id: {relation: BagScore}}``. Restart control flow stays
+    on host, per instance (restart counts are data-dependent)."""
     rng = rng or np.random.default_rng(0)
     x = np.asarray(graph.x if x is None else x, dtype=np.float32)
     N, F = x.shape
-    n_bags = len(bags)
-    # pow2 padding keeps compile signatures stable across metapath states
-    B = _pow2_bucket(n_bags, lo=8)
-    M = _pow2_bucket(max((len(b) for b in bags), default=1), lo=2)
-    bags_arr = np.zeros((B, M), dtype=np.int32)
-    member_valid = np.zeros((B, M), dtype=bool)
-    for i, b in enumerate(bags):
-        bags_arr[i, : len(b)] = b
-        member_valid[i, : len(b)] = True
-    bag_labels = np.concatenate([
-        np.asarray(bag_labels, dtype=np.float32).reshape(-1),
-        np.zeros(B - n_bags, dtype=np.float32),
-    ])
 
-    # min bag label per member (for destination_bag_dictionary init,
-    # main.py:426-438)
-    member_min_label = np.full(N, np.inf, dtype=np.float32)
-    for i, b in enumerate(bags):
-        for s in b:
-            member_min_label[s] = min(member_min_label[s], bag_labels[i])
-    is_member = np.isfinite(member_min_label)
+    # shared pow2 (B, M) buckets across all tasks -> stable compile shapes
+    B = _pow2_bucket(max((len(t[2]) for t in tasks), default=1), lo=8)
+    M = _pow2_bucket(
+        max((len(b) for t in tasks for b in t[2]), default=1), lo=2
+    )
 
-    results: Dict[int, BagScore] = {}
-    for chunk in _chunks(relations, graph):
-        d_pad = _pow2_bucket(
-            max(graph.neighbor_table(int(r))[0].shape[1] for r in chunk)
-        )
-        nbr, mask = _relation_ell_stack(graph, chunk, d_pad)
+    per_task = []
+    for tid, rels, bag_list, labels in tasks:
+        bags_arr = np.zeros((B, M), dtype=np.int32)
+        member_valid = np.zeros((B, M), dtype=bool)
+        for i, b in enumerate(bag_list):
+            bags_arr[i, : len(b)] = b
+            member_valid[i, : len(b)] = True
+        lab = np.concatenate([
+            np.asarray(labels, dtype=np.float32).reshape(-1),
+            np.zeros(B - len(bag_list), dtype=np.float32),
+        ])
+        # min bag label per member (destination_bag_dictionary init,
+        # main.py:426-438)
+        mml = np.full(N, np.inf, dtype=np.float32)
+        for i, b in enumerate(bag_list):
+            for m in b:
+                mml[m] = min(mml[m], lab[i])
+        per_task.append(dict(
+            tid=tid, bags=bags_arr, valid=member_valid, labels=lab,
+            member_min_label=mml, is_member=np.isfinite(mml),
+        ))
+
+    # instances = (task index, relation); chunk by relation degree bucket
+    instances = [
+        (ti, int(r)) for ti, (tid, rels, _, _) in enumerate(tasks)
+        for r in rels
+    ]
+    by_bucket: Dict[int, list] = {}
+    for inst in instances:
+        d = _pow2_bucket(graph.neighbor_table(inst[1])[0].shape[1])
+        by_bucket.setdefault(d, []).append(inst)
+    chunks = []
+    for d, insts in sorted(by_bucket.items()):
+        max_r = max(1, _MEM_BUDGET_ENTRIES // (N * d))
+        max_r = max(1, 1 << (max_r.bit_length() - 1))
+        for i in range(0, len(insts), max_r):
+            chunk = insts[i : i + max_r]
+            pad_to = min(_pow2_bucket(len(chunk), lo=1), max_r)
+            while len(chunk) < pad_to:
+                chunk = chunk + [chunk[-1]]
+            chunks.append((d, chunk))
+
+    results: Dict = {t[0]: {} for t in tasks}
+    bound = 1.0 / np.sqrt(F)
+    for d_pad, chunk in chunks:
         R = len(chunk)
+        nbr, mask = _relation_ell_stack(graph, [r for _, r in chunk], d_pad)
         has_edge = mask.any(axis=-1)                      # [R, N]
-        member_mask = member_valid[None] & has_edge[:, bags_arr]  # [R, B, M]
+
+        bags_i = np.stack([per_task[ti]["bags"] for ti, _ in chunk])
+        valid_i = np.stack([per_task[ti]["valid"] for ti, _ in chunk])
+        labels_i = np.stack([per_task[ti]["labels"] for ti, _ in chunk])
+        member_mask = valid_i & np.take_along_axis(
+            has_edge[:, None, :], bags_i.reshape(R, 1, -1), axis=2
+        ).reshape(R, B, M)
         bag_keep = member_mask.any(axis=-1).astype(np.float32)    # [R, B]
 
         # degenerate flag (main.py:876-882) over CLEANED bags
         kept_counts = bag_keep.sum(axis=1)
-        pos_kept = (bag_keep * (bag_labels[None] > 0.5)).sum(axis=1)
+        pos_kept = (bag_keep * (labels_i > 0.5)).sum(axis=1)
         degenerate = (kept_counts == 1) | ((kept_counts > 1) & (pos_kept == 0))
 
-        # per-relation init weights from destination bag labels
+        # per-instance init weights from destination bag labels
         w0 = np.empty((R, N), dtype=np.float32)
-        dest_sets: List[np.ndarray] = []
-        for i, r in enumerate(chunk):
-            dsts, mins = dest_min_labels(graph, r, is_member, member_min_label)
-            dest_sets.append(dsts)
+        for i, (ti, r) in enumerate(chunk):
+            t = per_task[ti]
+            dsts, mins = dest_min_labels(
+                graph, r, t["is_member"], t["member_min_label"]
+            )
             w0[i] = rng.uniform(0.0, 1.0, size=N)
             if len(dsts):
                 w0[i, dsts] = np.abs(
                     mins + rng.uniform(-cfg.init_noise, cfg.init_noise, len(dsts))
                 )
-        bound = 1.0 / np.sqrt(F)
         u0 = rng.uniform(-bound, bound, size=(R, F)).astype(np.float32)
 
         grad_mask = np.ones((R, N), dtype=np.float32)
@@ -449,8 +504,8 @@ def score_relations_bags(
 
         dev = dict(
             nbr=jnp.asarray(nbr), nbr_mask=jnp.asarray(mask),
-            bags=jnp.asarray(bags_arr), member_mask=jnp.asarray(member_mask),
-            bag_labels=jnp.asarray(bag_labels), bag_keep=jnp.asarray(bag_keep),
+            bags=jnp.asarray(bags_i), member_mask=jnp.asarray(member_mask),
+            bag_labels=jnp.asarray(labels_i), bag_keep=jnp.asarray(bag_keep),
             x=jnp.asarray(x),
         )
 
@@ -471,9 +526,10 @@ def score_relations_bags(
             for i in range(R):
                 if not active[i]:
                     continue
+                ti = chunk[i][0]
                 n_restarts[i] += 1
                 last_w[i], last_u[i] = w[i], u[i]
-                rec = has_edge[i] & is_member
+                rec = has_edge[i] & per_task[ti]["is_member"]
                 member_recorded[i] |= rec
                 member_pred_max[i][rec] = np.maximum(
                     member_pred_max[i][rec], member_value[i][rec]
@@ -501,11 +557,12 @@ def score_relations_bags(
                 if rest[i] >= cfg.max_consecutive_misses:
                     active[i] = False
 
-        for i, r in enumerate(chunk):
-            if int(r) in results:       # chunk padding repeats relations
+        for i, (ti, r) in enumerate(chunk):
+            tid = tasks[ti][0]
+            if r in results[tid]:       # chunk padding repeats instances
                 continue
-            results[int(r)] = BagScore(
-                relation=int(r),
+            results[tid][r] = BagScore(
+                relation=r,
                 loss=float(current_loss[i]),
                 degenerate=bool(degenerate[i]),
                 weights=last_w[i],
