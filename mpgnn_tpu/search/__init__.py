@@ -5,6 +5,7 @@ from mpgnn_tpu.search.engine import SearchResult, find_metapaths, MetapathState
 from mpgnn_tpu.search.scoring import (
     score_relations_flat,
     score_relations_bags,
+    score_bag_tasks,
     retrain_bags_predictions,
     FlatScore,
     BagScore,
@@ -25,6 +26,7 @@ __all__ = [
     "MetapathState",
     "score_relations_flat",
     "score_relations_bags",
+    "score_bag_tasks",
     "retrain_bags_predictions",
     "FlatScore",
     "BagScore",
