@@ -45,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_model", type=str, default=None,
                    help="directory to save the final joint model's "
                         "parameters (orbax) per class")
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the search into "
+                        "this directory (view with TensorBoard/Perfetto)")
     return p
 
 
@@ -116,17 +119,20 @@ def main(argv=None):
             logging.info("class %d restored from checkpoint", list_index)
             continue
 
-        res = find_metapaths(
-            graph,
-            np.asarray(binary_lab, dtype=np.float32),
-            split,
-            num_classes=num_classes,
-            config=cfg,
-            dataset=args.dataset,
-            source_nodes=source_nodes,
-            x_features=x,
-            seed=args.seed,
-        )
+        from mpgnn_tpu.utils.prof import device_trace
+
+        with device_trace(args.trace_dir):
+            res = find_metapaths(
+                graph,
+                np.asarray(binary_lab, dtype=np.float32),
+                split,
+                num_classes=num_classes,
+                config=cfg,
+                dataset=args.dataset,
+                source_nodes=source_nodes,
+                x_features=x,
+                seed=args.seed,
+            )
         results[list_index] = res
         if ckpt:
             ckpt.save(list_index, res)

@@ -100,3 +100,36 @@ def test_run_cli_save_model(dataset, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.isdir(os.path.join(out, "class_0"))
+
+
+@pytest.mark.slow
+def test_save_then_serve_roundtrip(dataset, tmp_path):
+    """run.py --save_model -> serve.py predictions round trip."""
+    out = str(tmp_path / "m")
+    run_cmd = [
+        sys.executable, "-m", "mpgnn_tpu.run",
+        "--hidden_dim", "16", "--dataset", "synthetic",
+        "--folder", dataset, "--node_file", "node.dat",
+        "--link_file", "link.dat", "--label_file", "label.dat",
+        "--epochs", "40", "--max_hops", "1", "--save_model", out,
+    ]
+    r = subprocess.run(run_cmd, capture_output=True, text=True, cwd=REPO,
+                       env=_env(), timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    metas = summary["classes"]["0"]["metapaths"]
+    assert metas
+
+    serve_cmd = [
+        sys.executable, "-m", "mpgnn_tpu.serve",
+        "--model_dir", os.path.join(out, "class_0"),
+        "--metapaths", json.dumps(metas),
+        "--folder", dataset, "--hidden_dim", "16",
+        "--nodes", "0,1,2,3",
+    ]
+    r2 = subprocess.run(serve_cmd, capture_output=True, text=True, cwd=REPO,
+                        env=_env(), timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    preds = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert set(preds.keys()) == {"0", "1", "2", "3"}
+    assert all(v in (0, 1) for v in preds.values())
