@@ -195,3 +195,28 @@ def test_search_with_shared_relation_vocabulary():
     if str(planted) in res.val_f1_by_path:
         best = max(res.val_f1_by_path.values())
         assert res.val_f1_by_path[str(planted)] >= best - 0.02
+
+
+def test_search_no_positive_sources_degrades_gracefully():
+    """All-negative labels -> no hop-0 candidates -> empty result, no crash
+    (the reference would raise on rank 0; we return an empty SearchResult)."""
+    g = generate_synthetic_graph(300, 3, "red-red-blue", seed=33)
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=4,
+    )
+    labels = np.zeros(300, dtype=np.int64)
+    labels[:4] = 1  # enough for a stratified split, no graph signal needed
+    split = split_nodes(labels)
+    cfg = SearchConfig(
+        mpgnn=MPGNNConfig(epochs=10, hidden_dim=8),
+        scorer=ScorerConfig(max_restarts=2),
+        max_extension_hops=1,
+    )
+    res = find_metapaths(
+        graph, np.zeros(300, np.float32), split, num_classes=2,
+        config=cfg, dataset="synthetic", seed=0,
+    )
+    assert res.metapaths == []
+    assert res.discovered == []
+    assert res.test_f1 == 0.0
