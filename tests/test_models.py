@@ -211,3 +211,35 @@ def test_duplicate_and_self_loop_edges_counted_with_multiplicity():
     np.testing.assert_allclose(agg[:, 0], [8 / 3, 2.0, 0.0], rtol=1e-6)
     adj, _ = dense_adjacency(s, d, 3)
     np.testing.assert_allclose(np.asarray(adj @ jnp.asarray(x))[:, 0], [8 / 3, 2.0, 0.0], rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_all_backends_agree_on_random_graphs(seed):
+    """Property test: every aggregation backend computes the same training
+    forward on random graphs (random N, E, relations, features)."""
+    from mpgnn_tpu.train.loops import build_hop_arrays as bha
+
+    rng = np.random.default_rng(seed)
+    N = int(rng.integers(30, 200))
+    E = int(rng.integers(50, 600))
+    R = int(rng.integers(2, 5))
+    F = int(rng.integers(2, 9))
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    rel = rng.integers(0, R, E)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    g = HeteroGraph(x, src, dst, rel, num_relations=R)
+    mp = [int(rng.integers(0, R)) for _ in range(int(rng.integers(1, 4)))]
+    params = init_mpgnn(jax.random.PRNGKey(seed), F, 8, 2, [mp])
+
+    outs = {}
+    for backend in ("segment", "ell", "dense", "onehot", "pallas"):
+        ops = bha(g, [mp], pad_multiple=8, backend=backend)
+        outs[backend] = np.asarray(
+            mpgnn_forward(params, jnp.asarray(g.x), ops, train=False)
+        )
+    ref = outs["segment"]
+    for backend, out in outs.items():
+        tol = 3e-2 if backend == "pallas" else 1e-4  # bf16 adjacency
+        np.testing.assert_allclose(out, ref, rtol=tol, atol=tol,
+                                   err_msg=backend)
