@@ -73,3 +73,24 @@ def find_smallest_values(accuracies: Sequence[float]):
         if len(idx) == 1:
             return [float(arr[i, 0]) for i in idx]
     return float(arr.min())
+
+
+def balanced_undersample(
+    node_idx: Sequence[int],
+    labels: Sequence[int],
+    rng: Optional[np.random.Generator] = None,
+):
+    """Class-balanced undersampling to the minority class size — the
+    reference's dead RandomUnderSampler branch (main.py:306-344, guarded by
+    v=False), reimplemented without imblearn. Returns (indices, labels)."""
+    rng = rng or np.random.default_rng(42)
+    node_idx = np.asarray(list(node_idx))
+    labels = np.asarray(list(labels))
+    classes, counts = np.unique(labels, return_counts=True)
+    n_min = int(counts.min())
+    keep = []
+    for c in classes:
+        members = np.nonzero(labels == c)[0]
+        keep.append(rng.choice(members, size=n_min, replace=False))
+    keep = np.concatenate(keep)
+    return node_idx[keep], labels[keep]

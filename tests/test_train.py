@@ -202,3 +202,13 @@ def test_batched_eval_dense_matches_segment(planted):
     for p in paths:
         # bf16 adjacency + different dropout streams -> small tolerance
         assert abs(a[str(p)] - b[str(p)]) < 0.08, (p, a[str(p)], b[str(p)])
+
+
+def test_balanced_undersample():
+    from mpgnn_tpu.utils.misc import balanced_undersample
+
+    idx = list(range(30))
+    labels = [0] * 20 + [1] * 10
+    ki, kl = balanced_undersample(idx, labels, np.random.default_rng(0))
+    assert len(ki) == 20
+    assert (np.asarray(kl) == 0).sum() == 10 and (np.asarray(kl) == 1).sum() == 10
