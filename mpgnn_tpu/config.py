@@ -53,6 +53,10 @@ class SearchConfig:
     """Search-loop structure (reference: main.py:1191-1476)."""
 
     max_extension_hops: int = 3          # main.py:1381 (for k in range(3) -> max length 4)
+    # False = reference parity (strict < bag gap cut, main.py:1424 — an
+    # upstream bug that blocks extension exactly when one relation clearly
+    # wins); True = hop-0-style <= cut (recommended for >= 4-relation data)
+    bag_gap_inclusive: bool = False
     top_k_final: int = 3                 # main.py:1465 (best 3 metapaths by val F1)
     seed: int = 30                       # main.py:31-32 (torch.manual_seed(30))
     split_seed: int = 415                # main.py:293 (train_test_split random_state)

@@ -136,15 +136,29 @@ def flat_gap_selection(
 
 
 def bag_gap_selection(
-    items: Sequence[Tuple[int, float]]
+    items: Sequence[Tuple[int, float]],
+    inclusive: bool = False,
 ) -> List[Tuple[int, float]]:
     """Bag-hop elbow-gap cut (main.py:1410-1424). Faithfully reproduces the
     reference's branching: with > 3 scored relations keep losses STRICTLY
     below the gap value; with 1 or 2 relations keep everything; with exactly
     3 relations (len(diffs) == 2) the reference's condition admits nothing —
-    reproduced as-is for parity."""
+    reproduced as-is for parity.
+
+    The strict ``<`` is an upstream bug (hop 0 uses ``<=``,
+    main.py:1353): when the largest gap sits right AFTER the best relation —
+    i.e. exactly when one relation clearly wins — nothing survives and the
+    metapath never extends. ``inclusive=True`` opts into the hop-0-style
+    ``<=`` cut (and treats the 3-candidate case like the others), which
+    materially improves planted-path recovery on >= 4-relation vocabularies
+    (SearchConfig.bag_gap_inclusive)."""
     arr = sorted(l for _, l in items)
     diffs = np.diff(arr)
+    if inclusive:
+        if len(diffs) >= 2:
+            cut = arr[int(np.argmax(diffs))]
+            return [it for it in items if it[1] <= cut]
+        return list(items)
     if len(diffs) > 2:
         cut = arr[int(np.argmax(diffs))]
         return [it for it in items if it[1] < cut]

@@ -221,7 +221,8 @@ def find_metapaths(
                 scores[r] for r in rels if not scores[r].degenerate
             ]
             survivors = bagmod.bag_gap_selection(
-                [(s.relation, s.loss) for s in valid]
+                [(s.relation, s.loss) for s in valid],
+                inclusive=cfg.bag_gap_inclusive,
             )
             surv_rels = {r for r, _ in survivors}
             log.info(

@@ -80,3 +80,16 @@ def test_connected_relations_modes():
     assert connected_relations(g, node_labels=labels) == [0, 2]
     assert connected_relations(g, source_nodes=[1, 3]) == [1]
     assert connected_relations(g, bag_members=[2, 3]) == [2, 1]
+
+
+def test_bag_gap_selection_inclusive_mode():
+    """inclusive=True keeps the clear winner the reference's strict < drops
+    (upstream bug: gap right after the best relation admits nothing)."""
+    items = [(2, 0.0), (0, 0.0098), (1, 0.0109), (3, 0.0159)]
+    assert bag_gap_selection(items) == []          # parity: nothing survives
+    kept = bag_gap_selection(items, inclusive=True)
+    assert [r for r, _ in kept] == [2]
+    # 3-candidate case also behaves sensibly in inclusive mode
+    items3 = [(0, 0.01), (1, 0.5), (2, 0.6)]
+    assert bag_gap_selection(items3) == []
+    assert [r for r, _ in bag_gap_selection(items3, inclusive=True)] == [0]
