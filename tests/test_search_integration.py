@@ -220,3 +220,35 @@ def test_search_no_positive_sources_degrades_gracefully():
     assert res.metapaths == []
     assert res.discovered == []
     assert res.test_f1 == 0.0
+
+
+@pytest.mark.slow
+def test_inclusive_gap_cut_recovers_on_hard_grid():
+    """The inclusive bag gap cut recovers the planted path on a grid cell
+    where the reference's strict < cut blocks every extension."""
+    g = generate_synthetic_graph(
+        1500, 4, "red-red-blue", overlap=2, shared_relations=1, seed=11
+    )
+    R = int(max(g["rel"])) + 1
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=R, labels=g["labels"],
+    )
+    split = split_nodes(g["labels"])
+    base = dict(
+        mpgnn=MPGNNConfig(epochs=120, hidden_dim=32),
+        scorer=ScorerConfig(max_restarts=5),
+        max_extension_hops=1,
+    )
+    res_par = find_metapaths(
+        graph, g["labels"].astype(np.float32), split, 2,
+        config=SearchConfig(**base), dataset="synthetic", seed=0,
+    )
+    res_inc = find_metapaths(
+        graph, g["labels"].astype(np.float32), split, 2,
+        config=SearchConfig(bag_gap_inclusive=True, **base),
+        dataset="synthetic", seed=0,
+    )
+    planted = g["metapath_relations"]
+    assert planted not in res_par.discovered      # reference behavior
+    assert planted in res_inc.discovered          # fixed behavior
