@@ -81,6 +81,9 @@ def bench_jax(graph, labels):
     ) else ("segment", "dense")
     best = (0.0, None)
     for backend in backends:
+      for dt in (jnp.float32, jnp.bfloat16):
+        if backend == "pallas" and dt == jnp.bfloat16:
+            continue  # fused kernel already runs its adjacency in bf16
         hop_ops = build_hop_arrays(graph, [METAPATH], backend=backend)
         kinds, data = split_hop_ops(hop_ops)
 
@@ -90,7 +93,7 @@ def bench_jax(graph, labels):
         def loss_fn(p, rng, ops):
             out = mpgnn_forward(
                 p, x, ops, dropout_rate=cfg.dropout,
-                dropout_rng=rng, train=True,
+                dropout_rng=rng, train=True, compute_dtype=dt,
             )
             logp = out[train_idx]
             return -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], 1))
@@ -112,20 +115,21 @@ def bench_jax(graph, labels):
             )
             return p, losses[-1]
 
+        tag = f"{backend}/{jnp.dtype(dt).name}"
         t0 = time.time()
         p, l = run(params0, data)
         jax.block_until_ready(l)
-        log(f"[{backend}] compile+first run: {time.time()-t0:.1f}s "
+        log(f"[{tag}] compile+first run: {time.time()-t0:.1f}s "
             f"on {jax.devices()[0]} (loss {float(l):.4f})")
         t0 = time.time()
         p, l = run(params0, data)
         jax.block_until_ready(l)
-        dt = time.time() - t0
-        eps = EPOCHS_TPU * edges_per_epoch / dt
-        log(f"[{backend}] {EPOCHS_TPU} epochs in {dt:.3f}s -> "
+        wall = time.time() - t0
+        eps = EPOCHS_TPU * edges_per_epoch / wall
+        log(f"[{tag}] {EPOCHS_TPU} epochs in {wall:.3f}s -> "
             f"{eps/1e6:.2f}M edges/s")
         if eps > best[0]:
-            best = (eps, backend)
+            best = (eps, tag)
     log(f"best backend: {best[1]}")
     return best[0]
 

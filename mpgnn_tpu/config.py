@@ -46,6 +46,11 @@ class MPGNNConfig:
     epochs: int = 1000                   # main.py:1121 / 1145
     hidden_dim: int = 64                 # run.sh (--hidden_dim 64)
     dropout: float = 0.6                 # model.py:200-201
+    # Mixed precision: "float32" (reference parity) or "bfloat16" — casts
+    # activations and GEMM operands to bf16 (MXU-native, halves HBM traffic
+    # for the gather/scatter aggregation) while params, optimizer state and
+    # the loss/log_softmax stay f32. No reference equivalent (torch-CPU f32).
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

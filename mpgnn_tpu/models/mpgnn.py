@@ -120,12 +120,23 @@ def mpgnn_forward(
     dropout_rate: float = 0.6,
     dropout_rng: jax.Array | None = None,
     train: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Forward pass (parity: MPNetm.forward, model.py:203-228).
 
     Each (metapath, hop) carries its relation's aggregation operand (see
     ``hop_aggregate``). Dropout is applied after every hop's ReLU during
-    training (model.py:210-214)."""
+    training (model.py:210-214).
+
+    ``compute_dtype=jnp.bfloat16`` runs activations and GEMM operands in
+    bf16 (params remain f32 outside; the cast's VJP returns f32 grads) while
+    the final log_softmax stays f32 for loss stability."""
+    dt = compute_dtype or x.dtype
+    x = x.astype(dt)
+
+    def cast(p):
+        return p.astype(dt)
+
     num_nodes = x.shape[0]
     embeddings = []
     drop_i = 0
@@ -143,17 +154,20 @@ def mpgnn_forward(
                 )
             else:
                 agg = hop_aggregate(h, op, num_nodes)
-                h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
+                h = jax.nn.relu(
+                    agg @ cast(conv.weight) + h @ cast(conv.root)
+                    + cast(conv.bias)
+                )
             if train and dropout_rate > 0.0:
                 key = jax.random.fold_in(dropout_rng, drop_i)
                 keep = jax.random.bernoulli(key, 1.0 - dropout_rate, h.shape)
-                h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+                h = jnp.where(keep, h / jnp.asarray(1.0 - dropout_rate, dt), 0.0)
             drop_i += 1
         embeddings.append(h)
     h = jnp.concatenate(embeddings, axis=1)
-    h = jax.nn.relu(h @ params.fc1.w + params.fc1.b)
-    h = h @ params.fc2.w + params.fc2.b
-    return jax.nn.log_softmax(h, axis=1)
+    h = jax.nn.relu(h @ cast(params.fc1.w) + cast(params.fc1.b))
+    h = h @ cast(params.fc2.w) + cast(params.fc2.b)
+    return jax.nn.log_softmax(h.astype(jnp.float32), axis=1)
 
 
 # ----------------------------------------------------------- MPNet (2-conv)

@@ -57,9 +57,13 @@ def masked_segment_mean(
     m = mask.astype(data.dtype)
     data = data * m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
     total = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
-    count = segment_sum(m, segment_ids, num_segments, indices_are_sorted)
-    count = jnp.maximum(count, 1.0)
-    return total / count.reshape(count.shape + (1,) * (total.ndim - count.ndim))
+    # counts accumulate in f32 even when data is bf16 — bf16 integers are
+    # exact only up to 256, below plausible max degrees
+    count = segment_sum(
+        mask.astype(jnp.float32), segment_ids, num_segments, indices_are_sorted
+    )
+    inv = (1.0 / jnp.maximum(count, 1.0)).astype(data.dtype)
+    return total * inv.reshape(inv.shape + (1,) * (total.ndim - inv.ndim))
 
 
 def segment_max(

@@ -59,8 +59,10 @@ def ell_mean_aggregate(
     gathered = x[nbr]                          # [N, D, F]
     m = nbr_mask.astype(x.dtype)[..., None]    # [N, D, 1]
     total = jnp.sum(gathered * m, axis=-2)
-    count = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
-    return total / count
+    # counts in f32: exact for degrees beyond bf16's 256-integer range
+    count = jnp.sum(nbr_mask.astype(jnp.float32), axis=-1, keepdims=True)
+    inv = (1.0 / jnp.maximum(count, 1.0)).astype(x.dtype)
+    return total * inv
 
 
 def ell_max_gather(
@@ -170,16 +172,26 @@ def dense_adjacency(
 def dense_mean_aggregate(a: jax.Array, a_t: jax.Array, h: jax.Array) -> jax.Array:
     """Dense-backend aggregation ``A @ h`` with a transpose-free VJP:
     dh = A^T @ g uses the precomputed transpose, so the backward pass is a
-    forward-speed GEMM instead of a transpose+GEMM."""
-    return jnp.dot(a, h, preferred_element_type=h.dtype)
+    forward-speed GEMM instead of a transpose+GEMM. The adjacency is cast to
+    h's dtype (bf16 under mixed precision — the MXU-native input width) with
+    f32 MXU accumulation either way."""
+    return jnp.dot(
+        a.astype(h.dtype), h, preferred_element_type=jnp.float32
+    ).astype(h.dtype)
 
 
 def _dense_fwd(a, a_t, h):
-    return jnp.dot(a, h, preferred_element_type=h.dtype), a_t
+    out = jnp.dot(
+        a.astype(h.dtype), h, preferred_element_type=jnp.float32
+    ).astype(h.dtype)
+    return out, a_t
 
 
 def _dense_bwd(a_t, g):
-    return None, None, jnp.dot(a_t, g, preferred_element_type=g.dtype)
+    dh = jnp.dot(
+        a_t.astype(g.dtype), g, preferred_element_type=jnp.float32
+    ).astype(g.dtype)
+    return None, None, dh
 
 
 dense_mean_aggregate.defvjp(_dense_fwd, _dense_bwd)

@@ -48,6 +48,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the search into "
                         "this directory (view with TensorBoard/Perfetto)")
+    p.add_argument("--no_warm", action="store_true",
+                   help="disable the background compile-ahead warmer "
+                        "(utils/warm.py)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="MPGNN activation/GEMM precision (params stay f32; "
+                        "bfloat16 is the MXU-native width)")
     return p
 
 
@@ -72,6 +79,14 @@ def main(argv=None):
     )
     from mpgnn_tpu.search import find_metapaths
     from mpgnn_tpu.utils.checkpoint import SearchCheckpoint
+    from mpgnn_tpu.utils.warm import get_warmer
+
+    # touch the device from a background thread immediately: the tunnel's
+    # per-process first-interaction stall (docs/DESIGN.md §3) then overlaps
+    # data loading instead of blocking the first sweep
+    warmer = get_warmer(enabled=not args.no_warm)
+    if warmer is not None:
+        warmer.poke_device()
 
     t_start = time.time()
     folder = args.folder.rstrip("/") + "/"
@@ -96,7 +111,8 @@ def main(argv=None):
 
     cfg = SearchConfig(
         max_extension_hops=args.max_hops,
-        mpgnn=MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim),
+        mpgnn=MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim,
+                          compute_dtype=args.compute_dtype),
     )
 
     ckpt = SearchCheckpoint(args.pickle_filename) if args.pickle_filename else None
@@ -132,6 +148,7 @@ def main(argv=None):
                 source_nodes=source_nodes,
                 x_features=x,
                 seed=args.seed,
+                warmer=warmer,
             )
         results[list_index] = res
         if ckpt:

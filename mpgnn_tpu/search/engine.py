@@ -34,6 +34,7 @@ from mpgnn_tpu.search.scoring import (
     retrain_bags_predictions,
     score_bag_tasks,
     score_relations_flat,
+    warm_retrain_signatures,
 )
 from mpgnn_tpu.train.loops import train_mpgnn
 
@@ -73,6 +74,7 @@ def find_metapaths(
     seed: int = 0,
     batched_eval: bool = True,
     frontier_checkpoint: Optional[str] = None,
+    warmer=None,
 ) -> SearchResult:
     """Run the full metapath search for one binary label vector.
 
@@ -141,7 +143,8 @@ def find_metapaths(
             )
         log.info("hop-0 candidates: %s", candidates)
         flat = score_relations_flat(
-            graph, candidates, node_labels, src_list, cfg.scorer, rng
+            graph, candidates, node_labels, src_list, cfg.scorer, rng,
+            warmer=warmer,
         )
         items = [(r, flat[r].loss) for r in candidates]
         survivors = bagmod.flat_gap_selection(items)
@@ -206,7 +209,12 @@ def find_metapaths(
             current = []
             save_frontier(k + 1, current, final_paths)
             break
-        all_scores = score_bag_tasks(graph, hop_tasks, cfg.scorer, rng, x=x)
+        # retrain-round signatures compile in the background while the
+        # sweep below owns the device
+        warm_retrain_signatures(graph, hop_tasks, cfg.scorer, warmer)
+        all_scores = score_bag_tasks(
+            graph, hop_tasks, cfg.scorer, rng, x=x, warmer=warmer
+        )
         log.info(
             "hop %d: swept %d states / %d (state, relation) instances in %.1fs",
             k + 1, len(hop_tasks),

@@ -164,13 +164,16 @@ def score_relations_flat(
     source_nodes: Optional[Sequence[int]],
     cfg: ScorerConfig = ScorerConfig(),
     rng: Optional[np.random.Generator] = None,
+    warmer=None,
 ) -> Dict[int, FlatScore]:
     """Hop-0 sweep (score_relation_parallel parity, main.py:727-760).
 
     ``source_nodes=None`` mirrors the reference's first=True branch
     (main.py:728-735): each relation's source set is the unique sources of
     its own edges. Otherwise the fixed labeled-source list is used for every
-    relation (FB15K/ACM mode)."""
+    relation (FB15K/ACM mode). ``warmer`` (utils.warm.ProgramWarmer)
+    pre-compiles every chunk signature concurrently before the serial
+    chunk loop reaches it."""
     rng = rng or np.random.default_rng(0)
     node_labels = np.asarray(node_labels, dtype=np.float32).reshape(-1)
     N = graph.num_nodes
@@ -181,7 +184,17 @@ def score_relations_flat(
         fixed_mask = np.zeros(N, dtype=bool)
         fixed_mask[np.asarray(list(source_nodes), dtype=np.int64)] = True
 
-    for chunk in _chunks(relations, graph):
+    chunks = _chunks(relations, graph)
+    if warmer is not None:
+        for chunk in chunks:
+            d = _pow2_bucket(
+                max(graph.neighbor_table(int(r))[0].shape[1] for r in chunk)
+            )
+            warmer.warm_flat_signature(
+                len(chunk), N, d, cfg.epochs_flat, cfg.lr
+            )
+
+    for chunk in chunks:
         d_pad = _pow2_bucket(
             max(graph.neighbor_table(int(r))[0].shape[1] for r in chunk)
         )
@@ -213,6 +226,33 @@ def score_relations_flat(
 
 
 # =========================================================== bag-mode sweep
+def _instance_chunks(
+    graph: HeteroGraph, tasks: Sequence, N: int
+) -> List[Tuple[int, list]]:
+    """(task index, relation) instances grouped into compile-signature
+    chunks: bucketed by pow2 max degree, split by the memory budget, padded
+    to pow2 by repeating the last instance. Deterministic in ``tasks``."""
+    instances = [
+        (ti, int(r)) for ti, (tid, rels, _, _) in enumerate(tasks)
+        for r in rels
+    ]
+    by_bucket: Dict[int, list] = {}
+    for inst in instances:
+        d = _pow2_bucket(graph.neighbor_table(inst[1])[0].shape[1])
+        by_bucket.setdefault(d, []).append(inst)
+    chunks = []
+    for d, insts in sorted(by_bucket.items()):
+        max_r = max(1, _MEM_BUDGET_ENTRIES // (N * d))
+        max_r = max(1, 1 << (max_r.bit_length() - 1))
+        for i in range(0, len(insts), max_r):
+            chunk = insts[i : i + max_r]
+            pad_to = min(_pow2_bucket(len(chunk), lo=1), max_r)
+            while len(chunk) < pad_to:
+                chunk = chunk + [chunk[-1]]
+            chunks.append((d, chunk))
+    return chunks
+
+
 @dataclasses.dataclass
 class BagScore:
     relation: int
@@ -312,6 +352,26 @@ def _bag_round(
     )
 
 
+def warm_retrain_signatures(
+    graph: HeteroGraph, tasks: Sequence, cfg: ScorerConfig, warmer
+) -> None:
+    """Pre-compile the ``retrain_bags_predictions`` program signatures a hop
+    could hit: R=1, per-task (B, M) buckets, one D per candidate relation's
+    raw ELL width. Compiles overlap the hop's sweep; dedupe in the warmer
+    collapses repeats across tasks and hops."""
+    if warmer is None:
+        return
+    N, F = graph.num_nodes, graph.feat_dim
+    for tid, rels, bag_list, _labels in tasks:
+        B = _pow2_bucket(len(bag_list), lo=8)
+        M = _pow2_bucket(max((len(b) for b in bag_list), default=1), lo=2)
+        for r in rels:
+            D = graph.neighbor_table(int(r))[0].shape[1]
+            warmer.warm_bag_signature(
+                1, N, D, B, M, F, cfg.epochs_bags, cfg.lr
+            )
+
+
 def retrain_bags_predictions(
     graph: HeteroGraph,
     relation: int,
@@ -396,6 +456,7 @@ def score_bag_tasks(
     cfg: ScorerConfig = ScorerConfig(),
     rng: Optional[np.random.Generator] = None,
     x: Optional[np.ndarray] = None,
+    warmer=None,
 ) -> Dict:
     """Bag sweeps for MANY search states at once.
 
@@ -404,7 +465,12 @@ def score_bag_tasks(
     frontier hop — the reference's per-metapath MPI fan-outs
     (main.py:1381-1408) — runs as ONE device program per restart round.
     Returns ``{task_id: {relation: BagScore}}``. Restart control flow stays
-    on host, per instance (restart counts are data-dependent)."""
+    on host, per instance (restart counts are data-dependent).
+
+    ``warmer`` pre-compiles every distinct restart-round signature in
+    background threads BEFORE the host-side bag bookkeeping below, so the
+    (expensive, remote) compiles overlap prep instead of serializing at the
+    first call of each chunk."""
     rng = rng or np.random.default_rng(0)
     x = np.asarray(graph.x if x is None else x, dtype=np.float32)
     N, F = x.shape
@@ -414,6 +480,13 @@ def score_bag_tasks(
     M = _pow2_bucket(
         max((len(b) for t in tasks for b in t[2]), default=1), lo=2
     )
+
+    if warmer is not None:
+        # chunk signatures are a pure function of the (task, relation) pairs
+        for d_pad, chunk in _instance_chunks(graph, tasks, N):
+            warmer.warm_bag_signature(
+                len(chunk), N, d_pad, B, M, F, cfg.epochs_bags, cfg.lr
+            )
 
     per_task = []
     for tid, rels, bag_list, labels in tasks:
@@ -437,25 +510,7 @@ def score_bag_tasks(
             member_min_label=mml, is_member=np.isfinite(mml),
         ))
 
-    # instances = (task index, relation); chunk by relation degree bucket
-    instances = [
-        (ti, int(r)) for ti, (tid, rels, _, _) in enumerate(tasks)
-        for r in rels
-    ]
-    by_bucket: Dict[int, list] = {}
-    for inst in instances:
-        d = _pow2_bucket(graph.neighbor_table(inst[1])[0].shape[1])
-        by_bucket.setdefault(d, []).append(inst)
-    chunks = []
-    for d, insts in sorted(by_bucket.items()):
-        max_r = max(1, _MEM_BUDGET_ENTRIES // (N * d))
-        max_r = max(1, 1 << (max_r.bit_length() - 1))
-        for i in range(0, len(insts), max_r):
-            chunk = insts[i : i + max_r]
-            pad_to = min(_pow2_bucket(len(chunk), lo=1), max_r)
-            while len(chunk) < pad_to:
-                chunk = chunk + [chunk[-1]]
-            chunks.append((d, chunk))
+    chunks = _instance_chunks(graph, tasks, N)
 
     results: Dict = {t[0]: {} for t in tasks}
     bound = 1.0 / np.sqrt(F)

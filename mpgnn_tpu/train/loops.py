@@ -220,10 +220,15 @@ def train_mpgnn(
     else:
         cw = None
 
+    compute_dtype = (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
+
     def loss_fn(params, rng, ops):
         out = mpgnn_forward(
             params, x, ops,
             dropout_rate=cfg.dropout, dropout_rng=rng, train=True,
+            compute_dtype=compute_dtype,
         )
         logp = out[train_idx]
         per = -jnp.take_along_axis(logp, train_y[:, None], axis=1)[:, 0]
@@ -233,7 +238,9 @@ def train_mpgnn(
         return jnp.sum(per * w) / jnp.sum(w)
 
     def eval_metrics(params, ops):
-        out = mpgnn_forward(params, x, ops, train=False)
+        out = mpgnn_forward(
+            params, x, ops, train=False, compute_dtype=compute_dtype
+        )
         preds = jnp.argmax(out, axis=1)
         return (
             macro_f1(preds[train_idx], train_y, num_classes),

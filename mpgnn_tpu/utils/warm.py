@@ -1,0 +1,171 @@
+"""Compile-ahead warming for the search's known jit signatures.
+
+The TPU in this environment is reached over a tunnel whose remote compiles
+measured 20-577 s per program and whose FIRST device interaction per process
+can stall minutes even with a hot persistent cache (docs/DESIGN.md §3). The
+search's device programs have a small, largely predictable signature set
+(pow2-bucketed shapes), so instead of paying each compile serially at the
+moment the search first needs it, a ``ProgramWarmer`` issues the same calls
+with dummy operands from background threads:
+
+* ``poke_device()``  — a trivial op at process start, so the per-process
+  first-use tunnel stall overlaps data loading instead of blocking hop 0;
+* ``warm_flat(...)`` — the hop-0 sweep's exact chunk signatures (they are a
+  pure function of the candidate set and the degree buckets);
+* ``warm_bag_signature(...)`` — one bag-sweep restart-round signature; the
+  sweep itself calls this for every distinct chunk signature BEFORE doing
+  its host-side bag bookkeeping, overlapping compile with prep.
+
+Warming works by invoking the real module-level jitted functions (their jit
+cache is process-global), so a warmed signature makes the search's first
+real call a pure cache hit. Dummy operands are zeros; epochs/lr statics must
+match the search config. The reference has no equivalent subsystem (its MPI
+ranks pay torch's eager overhead per call).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+log = logging.getLogger("mpgnn_tpu.warm")
+
+
+class ProgramWarmer:
+    """Background compile-ahead executor.
+
+    Thread-safe; dedupes signatures so repeated requests are free. All
+    warming is best-effort: failures are logged, never raised (a warm miss
+    just means the search pays the compile itself, as without warming).
+    """
+
+    def __init__(self, max_workers: int = 4):
+        self._pool = ThreadPoolExecutor(
+            max_workers=max_workers, thread_name_prefix="mpgnn-warm"
+        )
+        self._seen: set = set()
+        self._lock = threading.Lock()
+        self._futures: List[Future] = []
+
+    def _submit(self, key, fn, *args, **kwargs) -> None:
+        with self._lock:
+            if key in self._seen:
+                return
+            self._seen.add(key)
+
+        def task():
+            import time
+
+            t0 = time.time()
+            try:
+                fn(*args, **kwargs)
+                log.info("warmed %s in %.1fs", key, time.time() - t0)
+            except Exception as e:  # best-effort by design
+                log.warning("warm %s failed: %s", key, e)
+
+        with self._lock:
+            self._futures.append(self._pool.submit(task))
+
+    # ------------------------------------------------------------- warmers
+    def poke_device(self) -> None:
+        """Touch the device with a trivial program so the per-process
+        first-interaction tunnel stall runs concurrently with host-side
+        setup."""
+
+        def poke():
+            import jax
+            import jax.numpy as jnp
+
+            jax.block_until_ready(jnp.zeros((8, 8)) @ jnp.zeros((8, 8)))
+
+        self._submit("poke", poke)
+
+    def warm_flat(self, graph, relations: Sequence[int], cfg) -> None:
+        """Pre-compile the hop-0 flat sweep for its exact chunk signatures
+        (search/scoring.py::_chunks is deterministic in the candidate set)."""
+        from mpgnn_tpu.search import scoring as sc
+
+        N = graph.num_nodes
+        for chunk in sc._chunks(list(relations), graph):
+            d_pad = sc._pow2_bucket(
+                max(graph.neighbor_table(int(r))[0].shape[1] for r in chunk)
+            )
+            self.warm_flat_signature(
+                len(chunk), N, d_pad, cfg.epochs_flat, cfg.lr
+            )
+
+    def warm_flat_signature(
+        self, R: int, N: int, D: int, epochs: int, lr: float
+    ) -> None:
+        def build_and_call():
+            import jax.numpy as jnp
+
+            from mpgnn_tpu.search.scoring import _flat_sweep
+
+            _flat_sweep(
+                jnp.zeros((R, N), jnp.float32),
+                jnp.zeros((R, N, D), jnp.int32),
+                jnp.zeros((R, N, D), bool),
+                jnp.zeros((R, N), jnp.float32),
+                jnp.zeros((N,), jnp.float32),
+                epochs=epochs, lr=lr,
+            )
+
+        self._submit(("flat", R, N, D, epochs, lr), build_and_call)
+
+    def warm_bag_signature(
+        self, R: int, N: int, D: int, B: int, M: int, F: int,
+        epochs: int, lr: float,
+    ) -> None:
+        """Pre-compile one bag-sweep restart-round signature."""
+
+        def build_and_call():
+            import jax.numpy as jnp
+
+            from mpgnn_tpu.search.scoring import _bag_round
+
+            _bag_round(
+                jnp.zeros((R, N), jnp.float32),     # w0
+                jnp.zeros((R, F), jnp.float32),     # u0
+                jnp.zeros((R, N, D), jnp.int32),    # nbr
+                jnp.zeros((R, N, D), bool),         # nbr_mask
+                jnp.zeros((R, B, M), jnp.int32),    # bags
+                jnp.zeros((R, B, M), bool),         # member_mask
+                jnp.zeros((R, B), jnp.float32),     # bag_labels
+                jnp.zeros((R, B), jnp.float32),     # bag_keep
+                jnp.zeros((R, N), jnp.float32),     # grad_mask
+                jnp.zeros((R, N), bool),            # frozen_mask
+                jnp.zeros((N, F), jnp.float32),     # x
+                epochs=epochs, lr=lr,
+            )
+
+        self._submit(("bag", R, N, D, B, M, F, epochs, lr), build_and_call)
+
+    # ---------------------------------------------------------------- sync
+    def wait(self, timeout: Optional[float] = None) -> None:
+        """Block until all submitted warms finish (tests / shutdown)."""
+        with self._lock:
+            futures = list(self._futures)
+        for f in futures:
+            try:
+                f.result(timeout=timeout)
+            except Exception:
+                pass
+
+    def shutdown(self) -> None:
+        self._pool.shutdown(wait=False)
+
+
+_global_warmer: Optional[ProgramWarmer] = None
+
+
+def get_warmer(enabled: bool = True) -> Optional[ProgramWarmer]:
+    """Process-global warmer (None when disabled)."""
+    global _global_warmer
+    if not enabled:
+        return None
+    if _global_warmer is None:
+        _global_warmer = ProgramWarmer()
+    return _global_warmer

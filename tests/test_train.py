@@ -212,3 +212,40 @@ def test_balanced_undersample():
     ki, kl = balanced_undersample(idx, labels, np.random.default_rng(0))
     assert len(ki) == 20
     assert (np.asarray(kl) == 0).sum() == 10 and (np.asarray(kl) == 1).sum() == 10
+
+
+def test_bf16_compute_path_matches_f32(planted):
+    """Mixed-precision training (compute_dtype=bfloat16) keeps params f32,
+    runs activations in bf16, and recovers the planted metapath as well as
+    the f32 path."""
+    import jax.numpy as jnp
+
+    from mpgnn_tpu.models.mpgnn import init_mpgnn, mpgnn_forward
+    from mpgnn_tpu.train.loops import build_hop_arrays
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    res = train_mpgnn(
+        graph, [g["metapath_relations"]], split, 2,
+        MPGNNConfig(epochs=150, hidden_dim=32, compute_dtype="bfloat16"),
+    )
+    assert res.val_f1 > 0.95
+    # params stayed f32
+    assert res.params.fc1.w.dtype == jnp.float32
+
+    # forward agreement at f32 weights: bf16 output close to f32 output
+    import jax
+
+    params = init_mpgnn(jax.random.PRNGKey(0), graph.feat_dim, 32, 2,
+                        [g["metapath_relations"]])
+    ops = build_hop_arrays(graph, [g["metapath_relations"]])
+    out32 = mpgnn_forward(params, jnp.asarray(graph.x), ops, train=False)
+    out16 = mpgnn_forward(
+        params, jnp.asarray(graph.x), ops, train=False,
+        compute_dtype=jnp.bfloat16,
+    )
+    assert out16.dtype == jnp.float32          # log_softmax stays f32
+    agree = np.mean(
+        np.argmax(np.asarray(out32), 1) == np.argmax(np.asarray(out16), 1)
+    )
+    assert agree > 0.99
