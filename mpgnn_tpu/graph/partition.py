@@ -1,0 +1,227 @@
+"""Partitioned heterogeneous graphs — out-of-core / subgraph training.
+
+The reference replicates the whole graph into every MPI rank (main.py:1309
+``comm.bcast(data)``) and trains full-graph only; graphs beyond host (or
+HBM) memory are out of reach. Here a ``PartitionedHeteroGraph`` keeps the
+big arrays host-side (plain numpy or ``np.memmap`` straight off the native
+loader's files) and serves **induced subgraphs over unions of node blocks**
+— the Cluster-GCN recipe (Chiang et al., KDD'19), which is also the
+jit-friendly one on TPU:
+
+* node blocks are fixed at partition time; a training step samples q blocks,
+  takes the induced subgraph of their union, and runs a normal full-graph
+  MPGNN step on it;
+* subgraph shapes are padded to pow2 buckets, so every step reuses one of a
+  small set of compiled programs regardless of which blocks were drawn;
+* cross-block edges *within the sampled union* are kept (that is Cluster-GCN
+  stochastic multi-partition sampling: larger q -> fewer dropped cut edges).
+
+Partitioning is degree-balanced greedy (METIS is not in this image, and for
+the locality the synthetic/KG graphs exhibit, balanced random blocks are the
+documented Cluster-GCN fallback).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mpgnn_tpu.graph.hetero import HeteroGraph
+
+
+def _pow2(n: int, lo: int = 16) -> int:
+    return max(lo, 1 << (max(1, int(n)) - 1).bit_length())
+
+
+def partition_nodes(
+    num_nodes: int,
+    num_parts: int,
+    edge_src: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """[N] int32 block id per node.
+
+    Degree-balanced greedy: nodes in decreasing degree order go to the block
+    with the smallest accumulated degree (ties -> smallest block), which
+    keeps per-block induced-edge counts (and so padded step shapes) even.
+    Without ``edge_src`` it falls back to a seeded balanced random split."""
+    if num_parts <= 1:
+        return np.zeros(num_nodes, dtype=np.int32)
+    rng = np.random.default_rng(seed)
+    part = np.empty(num_nodes, dtype=np.int32)
+    if edge_src is None:
+        perm = rng.permutation(num_nodes)
+        for b in range(num_parts):
+            part[perm[b::num_parts]] = b
+        return part
+    deg = np.bincount(np.asarray(edge_src), minlength=num_nodes).astype(
+        np.int64
+    )
+    # jitter breaks ties between equal-degree nodes deterministically
+    order = np.argsort(-(deg * num_nodes + rng.permutation(num_nodes)),
+                       kind="stable")
+    load = np.zeros(num_parts, dtype=np.int64)
+    count = np.zeros(num_parts, dtype=np.int64)
+    for v in order:
+        b = int(np.lexsort((count, load))[0])
+        part[v] = b
+        load[b] += deg[v] + 1
+        count[b] += 1
+    return part
+
+
+@dataclasses.dataclass
+class Subgraph:
+    """One induced subgraph in local ids, ready for a training step.
+
+    ``nodes`` maps local -> global id; padded rows replicate the last real
+    node (masked out of the loss via ``node_mask``). With halo expansion,
+    ``core_mask`` selects the sampled blocks' own nodes (loss/metrics
+    restrict to these — halo rows only feed their receptive fields)."""
+
+    graph: HeteroGraph          # local-id induced subgraph (padded features)
+    nodes: np.ndarray           # [n_pad] global node ids
+    node_mask: np.ndarray       # [n_pad] bool, False on padding
+    core_mask: np.ndarray       # [n_pad] bool, True on the blocks' own nodes
+    num_real_nodes: int
+    num_real_edges: int
+
+
+class PartitionedHeteroGraph:
+    """Host-resident partitioned graph serving padded induced subgraphs.
+
+    ``x`` may be an ``np.memmap`` (features never fully materialized); edge
+    arrays may likewise be memmaps from the native loader. Only the sampled
+    subgraph's rows are ever copied to device."""
+
+    def __init__(
+        self,
+        x: np.ndarray,
+        edge_src: np.ndarray,
+        edge_dst: np.ndarray,
+        edge_type: np.ndarray,
+        num_relations: int,
+        num_parts: int,
+        labels: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        self.x = x
+        self.num_nodes = int(x.shape[0])
+        self.feat_dim = int(x.shape[1])
+        self.num_relations = int(num_relations)
+        self.labels = labels
+        self.num_parts = int(num_parts)
+        self.edge_src = np.asarray(edge_src)
+        self.edge_dst = np.asarray(edge_dst)
+        self.edge_type = np.asarray(edge_type)
+        self.part = partition_nodes(
+            self.num_nodes, num_parts, self.edge_src, seed
+        )
+        # block membership lists + per-edge source block (host, O(N + E))
+        self._block_nodes: List[np.ndarray] = [
+            np.flatnonzero(self.part == b).astype(np.int64)
+            for b in range(self.num_parts)
+        ]
+        self._sub_cache: Dict[Tuple[int, ...], Subgraph] = {}
+
+    @classmethod
+    def from_graph(
+        cls, graph: HeteroGraph, num_parts: int, seed: int = 0
+    ) -> "PartitionedHeteroGraph":
+        return cls(
+            graph.x, graph.edge_src, graph.edge_dst, graph.edge_type,
+            graph.num_relations, num_parts, labels=graph.labels, seed=seed,
+        )
+
+    def block_nodes(self, block: int) -> np.ndarray:
+        return self._block_nodes[block]
+
+    def subgraph(
+        self, blocks: Sequence[int], halo_hops: int = 0, cache: bool = True
+    ) -> Subgraph:
+        """Induced subgraph of the union of ``blocks``, local ids, padded to
+        pow2 node/edge buckets so step programs are reused across draws.
+
+        ``halo_hops=L`` expands the node set L times along the aggregation
+        direction (out[src] reads x[dst], mp_rgcn_layer.py:98: flow
+        target_to_source), so every core node's L-hop receptive field is
+        complete — core predictions/gradients are then EXACT, not the
+        cut-edge Cluster-GCN approximation. Memory grows with the halo; 0
+        keeps the pure Cluster-GCN behavior."""
+        blocks_key = tuple(sorted(int(b) for b in set(blocks)))
+        key = (int(halo_hops),) + blocks_key
+        if cache and key in self._sub_cache:
+            return self._sub_cache[key]
+        member = np.zeros(self.num_nodes, dtype=bool)
+        for b in blocks_key:
+            member[self._block_nodes[b]] = True
+        core = member.copy()
+        for _ in range(int(halo_hops)):
+            grew = member[self.edge_src]      # O(E) streaming pass per hop
+            member[self.edge_dst[grew]] = True
+        nodes = np.flatnonzero(member)
+        n = len(nodes)
+        n_pad = _pow2(n)
+        # global -> local map (memmap-safe: plain int64 array over N)
+        loc = np.full(self.num_nodes, -1, dtype=np.int64)
+        loc[nodes] = np.arange(n, dtype=np.int64)
+        keep = (loc[self.edge_src] >= 0) & (loc[self.edge_dst] >= 0)
+        s = loc[self.edge_src[keep]]
+        d = loc[self.edge_dst[keep]]
+        t = self.edge_type[keep]
+        e = len(s)
+        e_pad = _pow2(e)
+        # padding edges are self-loops on a padding node under a DEDICATED
+        # extra relation id (= num_relations): real relations' edge counts,
+        # ELL widths and aggregations are untouched, and no metapath ever
+        # references the pad relation. The local graph therefore reports
+        # num_relations + 1 relations.
+        pad_node = n_pad - 1
+        sp = np.full(e_pad, pad_node, dtype=np.int64)
+        dp = np.full(e_pad, pad_node, dtype=np.int64)
+        tp = np.full(e_pad, self.num_relations, dtype=np.int64)
+        sp[:e], dp[:e], tp[:e] = s, d, t
+        x_sub = np.zeros((n_pad, self.feat_dim), dtype=np.float32)
+        x_sub[:n] = self.x[nodes]          # the only feature rows touched
+        labels_sub = None
+        if self.labels is not None:
+            labels_sub = np.zeros(n_pad, dtype=np.asarray(self.labels).dtype)
+            labels_sub[:n] = np.asarray(self.labels)[nodes]
+        g = HeteroGraph(
+            x_sub, sp, dp, tp, num_relations=self.num_relations + 1,
+            labels=labels_sub,
+        )
+        mask = np.zeros(n_pad, dtype=bool)
+        mask[:n] = True
+        core_mask = np.zeros(n_pad, dtype=bool)
+        core_mask[:n] = core[nodes]
+        sub = Subgraph(
+            graph=g, nodes=np.concatenate(
+                [nodes, np.full(n_pad - n, nodes[-1] if n else 0, np.int64)]
+            ),
+            node_mask=mask, core_mask=core_mask,
+            num_real_nodes=n, num_real_edges=e,
+        )
+        if cache:
+            self._sub_cache[key] = sub
+        return sub
+
+    def edge_cut_fraction(self, blocks_per_step: int = 1) -> float:
+        """Expected fraction of edges crossing a random q-block union —
+        the Cluster-GCN information loss knob (q up -> loss down)."""
+        same = self.part[self.edge_src] == self.part[self.edge_dst]
+        within = float(np.mean(same)) if len(same) else 1.0
+        q = blocks_per_step
+        p_both = within + (1 - within) * max(q - 1, 0) / max(
+            self.num_parts - 1, 1
+        )
+        return 1.0 - p_both
+
+    def __repr__(self) -> str:
+        return (
+            f"PartitionedHeteroGraph(nodes={self.num_nodes}, "
+            f"edges={len(self.edge_src)}, parts={self.num_parts}, "
+            f"cut={self.edge_cut_fraction():.2%})"
+        )
