@@ -154,6 +154,96 @@ class MPGNNTrainResult:
     final_loss: float
 
 
+def _kinds_key(hop_kinds) -> tuple:
+    return tuple(
+        tuple(k if isinstance(k, str) else tuple(k) for k in row)
+        for row in hop_kinds
+    )
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=64)
+def _train_program(
+    kinds_key: tuple,
+    epochs: int,
+    lr: float,
+    weight_decay: float,
+    dropout: float,
+    track_best: bool,
+    num_classes: int,
+    compute_dtype_name: str,
+):
+    """One jitted whole-run training program per static signature.
+
+    ``train_mpgnn`` used to build a fresh ``@jax.jit`` closure per call, so
+    back-to-back candidate trainings (the search's greedy final phase,
+    serial evals) re-traced identical programs every time. Hoisting the
+    program into an lru-cached factory makes a repeat call a pure jit-cache
+    hit; every run-specific value (params, operands, splits, dropout key,
+    class weights) enters as an argument."""
+    from mpgnn_tpu.config import MPGNNConfig as _Cfg
+
+    tx = make_optimizer(_Cfg(lr=lr, weight_decay=weight_decay))
+    compute_dtype = (
+        jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    )
+
+    @jax.jit
+    def run(params0, hop_data, x, train_idx, train_y, val_idx, val_y,
+            test_idx, test_y, drop_key, cw):
+        ops = retag_hop_ops(kinds_key, hop_data)
+
+        def loss_fn(params, rng):
+            out = mpgnn_forward(
+                params, x, ops,
+                dropout_rate=dropout, dropout_rng=rng, train=True,
+                compute_dtype=compute_dtype,
+            )
+            logp = out[train_idx]
+            per = -jnp.take_along_axis(logp, train_y[:, None], axis=1)[:, 0]
+            w = cw[train_y]
+            return jnp.sum(per * w) / jnp.sum(w)
+
+        def eval_metrics(params):
+            out = mpgnn_forward(
+                params, x, ops, train=False, compute_dtype=compute_dtype
+            )
+            preds = jnp.argmax(out, axis=1)
+            return (
+                macro_f1(preds[train_idx], train_y, num_classes),
+                macro_f1(preds[val_idx], val_y, num_classes),
+                macro_f1(preds[test_idx], test_y, num_classes),
+            )
+
+        def epoch_step(carry, epoch):
+            params, opt_state, best_val, best_params = carry
+            rng = jax.random.fold_in(drop_key, epoch)
+            loss, grads = jax.value_and_grad(loss_fn)(params, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if track_best:
+                _, val_f1, _ = eval_metrics(params)
+                better = val_f1 > best_val
+                best_val = jnp.where(better, val_f1, best_val)
+                best_params = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(better, p, b), best_params, params
+                )
+            return (params, opt_state, best_val, best_params), loss
+
+        opt_state = tx.init(params0)
+        carry0 = (params0, opt_state, jnp.asarray(0.0), params0)
+        (params, _, best_val, best_params), losses = jax.lax.scan(
+            epoch_step, carry0, jnp.arange(epochs)
+        )
+        eval_params = best_params if track_best else params
+        train_f1, val_f1, test_f1 = eval_metrics(eval_params)
+        return eval_params, train_f1, val_f1, test_f1, losses[-1]
+
+    return run
+
+
 def make_optimizer(cfg: MPGNNConfig) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay) parity: L2 decay is added to the
     gradient BEFORE the Adam moment updates (not AdamW)."""
@@ -194,22 +284,11 @@ def train_mpgnn(
     # backends' operands travel as jit arguments.
     hop_kinds, hop_data = split_hop_ops(hop_ops)
 
-    def retag(data):
-        return retag_hop_ops(hop_kinds, data)
-
-    train_idx = jnp.asarray(split.train_idx)
-    train_y = jnp.asarray(split.train_y)
-    val_idx = jnp.asarray(split.val_idx)
-    val_y = jnp.asarray(split.val_y)
-    test_idx = jnp.asarray(split.test_idx)
-    test_y = jnp.asarray(split.test_y)
-
     key = jax.random.PRNGKey(seed)
     init_key, drop_key = jax.random.split(key)
     params0 = init_mpgnn(
         init_key, graph.feat_dim, cfg.hidden_dim, num_classes, metapaths
     )
-    tx = make_optimizer(cfg)
 
     if class_weighted:
         counts = np.bincount(np.asarray(split.train_y), minlength=num_classes)
@@ -218,65 +297,20 @@ def train_mpgnn(
             len(split.train_y) / (num_classes * counts), dtype=jnp.float32
         )
     else:
-        cw = None
+        # uniform weights reduce to the plain mean (sum(per)/n) exactly
+        cw = jnp.ones((num_classes,), jnp.float32)
 
-    compute_dtype = (
-        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    run = _train_program(
+        _kinds_key(hop_kinds), cfg.epochs, cfg.lr, cfg.weight_decay,
+        cfg.dropout, track_best, num_classes, cfg.compute_dtype,
     )
-
-    def loss_fn(params, rng, ops):
-        out = mpgnn_forward(
-            params, x, ops,
-            dropout_rate=cfg.dropout, dropout_rng=rng, train=True,
-            compute_dtype=compute_dtype,
-        )
-        logp = out[train_idx]
-        per = -jnp.take_along_axis(logp, train_y[:, None], axis=1)[:, 0]
-        if cw is None:
-            return jnp.mean(per)
-        w = cw[train_y]
-        return jnp.sum(per * w) / jnp.sum(w)
-
-    def eval_metrics(params, ops):
-        out = mpgnn_forward(
-            params, x, ops, train=False, compute_dtype=compute_dtype
-        )
-        preds = jnp.argmax(out, axis=1)
-        return (
-            macro_f1(preds[train_idx], train_y, num_classes),
-            macro_f1(preds[val_idx], val_y, num_classes),
-            macro_f1(preds[test_idx], test_y, num_classes),
-        )
-
-    @jax.jit
-    def run(params0, hop_data):
-        ops = retag(hop_data)
-
-        def epoch_step(carry, epoch):
-            params, opt_state, best_val, best_params = carry
-            rng = jax.random.fold_in(drop_key, epoch)
-            loss, grads = jax.value_and_grad(loss_fn)(params, rng, ops)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            if track_best:
-                _, val_f1, _ = eval_metrics(params, ops)
-                better = val_f1 > best_val
-                best_val = jnp.where(better, val_f1, best_val)
-                best_params = jax.tree_util.tree_map(
-                    lambda b, p: jnp.where(better, p, b), best_params, params
-                )
-            return (params, opt_state, best_val, best_params), loss
-
-        opt_state = tx.init(params0)
-        carry0 = (params0, opt_state, jnp.asarray(0.0), params0)
-        (params, _, best_val, best_params), losses = jax.lax.scan(
-            epoch_step, carry0, jnp.arange(cfg.epochs)
-        )
-        eval_params = best_params if track_best else params
-        train_f1, val_f1, test_f1 = eval_metrics(eval_params, ops)
-        return eval_params, train_f1, val_f1, test_f1, losses[-1]
-
-    params, train_f1, val_f1, test_f1, last_loss = run(params0, hop_data)
+    params, train_f1, val_f1, test_f1, last_loss = run(
+        params0, hop_data, x,
+        jnp.asarray(split.train_idx), jnp.asarray(split.train_y),
+        jnp.asarray(split.val_idx), jnp.asarray(split.val_y),
+        jnp.asarray(split.test_idx), jnp.asarray(split.test_y),
+        drop_key, cw,
+    )
     return MPGNNTrainResult(
         params=params,
         val_f1=float(val_f1),
