@@ -84,8 +84,15 @@ def build_sharded_train_step(
     num_classes: int,
     cfg: Optional[MPGNNConfig] = None,
     seed: int = 0,
+    init_params=None,
+    init_opt_state=None,
 ):
     """One full multi-chip MPGNN training step, jit-compiled over the mesh.
+
+    ``init_params`` / ``init_opt_state`` (host pytrees, e.g. from an elastic
+    checkpoint) override the fresh initialization — they are placed onto
+    THIS mesh's shardings, which is what makes resuming on a different
+    device count work (parallel/elastic.py).
 
     Shardings:
       * per-hop edge arrays   -> P('data')   (edge partitioning)
@@ -127,10 +134,13 @@ def build_sharded_train_step(
     train_idx = jax.device_put(jnp.asarray(split.train_idx), repl)
     train_y = jax.device_put(jnp.asarray(split.train_y), repl)
 
-    params = init_mpgnn(
-        jax.random.PRNGKey(seed), graph.feat_dim, cfg.hidden_dim,
-        num_classes, metapaths,
-    )
+    if init_params is not None:
+        params = jax.tree_util.tree_map(jnp.asarray, init_params)
+    else:
+        params = init_mpgnn(
+            jax.random.PRNGKey(seed), graph.feat_dim, cfg.hidden_dim,
+            num_classes, metapaths,
+        )
 
     def param_sharding(p: MPGNNParams) -> MPGNNParams:
         def conv_sh(c):
@@ -152,7 +162,20 @@ def build_sharded_train_step(
         is_leaf=lambda a: isinstance(a, jnp.ndarray),
     )
     tx = make_optimizer(cfg)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params)      # sharded via params' placements
+    if init_opt_state is not None:
+        # restore values; re-place only mesh-sharded leaves (eager tx.init
+        # leaves like Adam's scalar `count` are uncommitted on the default
+        # device — committing those to one device would conflict with the
+        # mesh under jit)
+        def _restore(fresh, saved):
+            if hasattr(fresh, "sharding") and isinstance(
+                fresh.sharding, NamedSharding
+            ):
+                return jax.device_put(jnp.asarray(saved), fresh.sharding)
+            return jnp.asarray(saved)
+
+        opt_state = jax.tree_util.tree_map(_restore, opt_state, init_opt_state)
 
     def forward(p: MPGNNParams, rng, train: bool):
         embeddings = []
