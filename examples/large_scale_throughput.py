@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--backends", type=str, default="segment")
+    ap.add_argument("--compute_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     from mpgnn_tpu.utils.prof import enable_compilation_cache
@@ -73,10 +75,12 @@ def main():
         hop_ops = build_hop_arrays(graph, [metapath], backend=backend)
         kinds, data = split_hop_ops(hop_ops)
 
+        dt_c = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
         def loss_fn(p, rng_, ops):
             out = mpgnn_forward(
                 p, xj, ops, dropout_rate=cfg.dropout, dropout_rng=rng_,
-                train=True,
+                train=True, compute_dtype=dt_c,
             )
             logp = out[train_idx]
             return -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], 1))
@@ -114,7 +118,8 @@ def main():
 
     print(json.dumps({
         "metric": "large_scale_train_edges_per_s",
-        "nodes": N, "edges": E, "results": results,
+        "nodes": N, "edges": E, "compute_dtype": args.compute_dtype,
+        "results": results,
     }))
 
 
