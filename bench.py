@@ -90,10 +90,11 @@ def bench_jax(graph, labels):
         def retag(d):
             return retag_hop_ops(kinds, d)
 
-        def loss_fn(p, rng, ops):
+        def loss_fn(p, rng, ops, first_aggs):
             out = mpgnn_forward(
                 p, x, ops, dropout_rate=cfg.dropout,
                 dropout_rng=rng, train=True, compute_dtype=dt,
+                first_hop_agg=first_aggs,
             )
             logp = out[train_idx]
             return -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], 1))
@@ -101,11 +102,14 @@ def bench_jax(graph, labels):
         @jax.jit
         def run(p, d):
             ops = retag(d)
+            from mpgnn_tpu.models.mpgnn import precompute_first_hop
+
+            first_aggs = precompute_first_hop(x, ops, dt)
 
             def epoch(carry, e):
                 p, st = carry
                 loss, g = jax.value_and_grad(loss_fn)(
-                    p, jax.random.fold_in(drop_key, e), ops
+                    p, jax.random.fold_in(drop_key, e), ops, first_aggs
                 )
                 upd, st = tx.update(g, st, p)
                 return (optax.apply_updates(p, upd), st), loss

@@ -112,6 +112,33 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
     raise ValueError(f"unknown hop op {kind!r}")
 
 
+def precompute_first_hop(
+    x: jax.Array,
+    hop_ops: Sequence[Sequence[Tuple]],
+    compute_dtype=None,
+):
+    """Per-metapath hop-0 aggregation of the input features.
+
+    The first hop aggregates ``x``, which is constant for a whole training
+    run (dropout is applied only AFTER each conv, model.py:210-214), so its
+    aggregation is epoch-invariant. Computing it once outside the epoch
+    ``lax.scan`` removes hop-0's adjacency read / gather+scatter from every
+    epoch on every backend. Returns one array per metapath (None for the
+    fused-conv backend, whose kernel owns its aggregation); feed the result
+    to ``mpgnn_forward(first_hop_agg=...)``. Numerically identical to the
+    uncached path."""
+    dt = compute_dtype or x.dtype
+    xd = x.astype(dt)
+    out = []
+    for ops in hop_ops:
+        op = ops[0]
+        if op[0] == "fused":
+            out.append(None)
+        else:
+            out.append(hop_aggregate(xd, op, x.shape[0]))
+    return out
+
+
 def mpgnn_forward(
     params: MPGNNParams,
     x: jax.Array,
@@ -121,6 +148,7 @@ def mpgnn_forward(
     dropout_rng: jax.Array | None = None,
     train: bool = False,
     compute_dtype=None,
+    first_hop_agg=None,
 ) -> jax.Array:
     """Forward pass (parity: MPNetm.forward, model.py:203-228).
 
@@ -130,7 +158,10 @@ def mpgnn_forward(
 
     ``compute_dtype=jnp.bfloat16`` runs activations and GEMM operands in
     bf16 (params remain f32 outside; the cast's VJP returns f32 grads) while
-    the final log_softmax stays f32 for loss stability."""
+    the final log_softmax stays f32 for loss stability.
+
+    ``first_hop_agg`` (from ``precompute_first_hop``) substitutes the cached
+    epoch-invariant hop-0 aggregation; entries may be None to fall back."""
     dt = compute_dtype or x.dtype
     x = x.astype(dt)
 
@@ -144,7 +175,18 @@ def mpgnn_forward(
         h = x
         for j, conv in enumerate(stack):
             op = hop_ops[i][j]
-            if op[0] == "fused":
+            cached = (
+                first_hop_agg[i]
+                if j == 0 and first_hop_agg is not None
+                else None
+            )
+            if cached is not None:
+                agg = cached.astype(dt)
+                h = jax.nn.relu(
+                    agg @ cast(conv.weight) + h @ cast(conv.root)
+                    + cast(conv.bias)
+                )
+            elif op[0] == "fused":
                 # fully fused conv kernel (aggregation + transform + relu)
                 from mpgnn_tpu.ops.pallas_conv import pallas_dense_conv
 

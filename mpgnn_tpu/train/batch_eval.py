@@ -44,48 +44,53 @@ import functools
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _masked_dense_agg(adj, adj_t, h, masks):
-    """Batched dense aggregation with per-candidate relation selection.
+def _grouped_dense_agg(adj, adj_t, h, groups):
+    """Batched dense aggregation with static per-relation candidate groups.
 
     adj/adj_t: [Ru, N, N] stacked unique normalized adjacencies (bf16);
-    h: [C, N, F] per-candidate features; masks: static tuple of length Ru of
-    [C] float selectors (masks[r][c] == 1 iff candidate c uses relation r at
-    this hop). Scatter-free and vmap-free: each unique relation is ONE MXU
-    batched GEMM against all candidates, then a masked sum — so batching
-    candidates costs GEMMs, not serialized scatters. Backward uses the
-    precomputed transposes (transpose materialization measured ~80x a GEMM).
-    """
-    return _masked_dense_agg_fwd_impl(adj, h, masks)
+    h: [C, N, F] per-candidate features; groups: STATIC tuple of
+    (rel_index, (candidate indices...)) pairs covering every candidate —
+    which relation each candidate aggregates at this hop is known at trace
+    time, so each unique relation runs ONE MXU GEMM against the
+    concatenation of just its candidates' features. Total GEMM work is
+    C·N²·F (same as training the candidates separately) and each adjacency
+    is streamed from HBM once per hop regardless of C — unlike the earlier
+    masked formulation whose Ru·C·N²·F work made C=30 a 10x regression over
+    the segment backend (docs/DESIGN.md §2). Backward runs the same grouped
+    GEMMs against the precomputed transposes (materializing a transpose
+    measured ~80x a GEMM)."""
+    return _grouped_dense_agg_impl(adj, h, groups)
 
 
-def _masked_dense_agg_fwd_impl(adj, h, masks):
-    out = jnp.zeros(h.shape, jnp.float32)
+def _grouped_dense_agg_impl(mats, h, groups):
     hb = h.astype(jnp.bfloat16)
-    for r in range(adj.shape[0]):
-        agg_r = jnp.einsum(
-            "nm,cmf->cnf", adj[r], hb, preferred_element_type=jnp.float32
+    outs = []
+    order: List[int] = []
+    for ri, members in groups:
+        hg = hb[np.asarray(members, np.int64)]  # static leading-axis gather
+        outs.append(
+            jnp.einsum(
+                "nm,gmf->gnf", mats[ri], hg,
+                preferred_element_type=jnp.float32,
+            )
         )
-        out = out + jnp.asarray(masks[r])[:, None, None] * agg_r
-    return out
+        order.extend(members)
+    stacked = jnp.concatenate(outs, axis=0)    # [C, N, F] in group order
+    inv = np.argsort(np.asarray(order, np.int64))
+    return stacked[inv]
 
 
-def _masked_dense_agg_vjp_fwd(adj, adj_t, h, masks):
-    return _masked_dense_agg_fwd_impl(adj, h, masks), (adj, adj_t)
+def _grouped_dense_agg_vjp_fwd(adj, adj_t, h, groups):
+    return _grouped_dense_agg_impl(adj, h, groups), (adj, adj_t)
 
 
-def _masked_dense_agg_vjp_bwd(masks, res, g):
+def _grouped_dense_agg_vjp_bwd(groups, res, g):
     adj, adj_t = res
-    dh = jnp.zeros(g.shape, jnp.float32)
-    gb = g.astype(jnp.bfloat16)
-    for r in range(adj_t.shape[0]):
-        back_r = jnp.einsum(
-            "nm,cmf->cnf", adj_t[r], gb, preferred_element_type=jnp.float32
-        )
-        dh = dh + jnp.asarray(masks[r])[:, None, None] * back_r
+    dh = _grouped_dense_agg_impl(adj_t, g, groups)
     return jnp.zeros_like(adj), jnp.zeros_like(adj_t), dh
 
 
-_masked_dense_agg.defvjp(_masked_dense_agg_vjp_fwd, _masked_dense_agg_vjp_bwd)
+_grouped_dense_agg.defvjp(_grouped_dense_agg_vjp_fwd, _grouped_dense_agg_vjp_bwd)
 
 
 def evaluate_candidates(
@@ -135,21 +140,26 @@ def evaluate_candidates(
         params0 = jax.vmap(init_one)(keys)
         tx = make_optimizer(cfg)
 
-        def forward(p, src_c, dst_c, mask_c, rng, train):
+        def agg_hop(h, src_j, dst_j, mask_j):
+            m = mask_j.astype(h.dtype)
+            contrib = h[dst_j] * m[:, None]
+            tot = jax.ops.segment_sum(
+                contrib, src_j, num_segments=graph.num_nodes,
+                indices_are_sorted=True,
+            )
+            cnt = jax.ops.segment_sum(
+                m, src_j, num_segments=graph.num_nodes,
+                indices_are_sorted=True,
+            )
+            return tot / jnp.maximum(cnt, 1.0)[:, None]
+
+        def forward(p, src_c, dst_c, mask_c, rng, train, agg0):
             h = x
             for j in range(L):
                 conv = p.convs[0][j]
-                m = mask_c[j].astype(h.dtype)
-                contrib = h[dst_c[j]] * m[:, None]
-                tot = jax.ops.segment_sum(
-                    contrib, src_c[j], num_segments=graph.num_nodes,
-                    indices_are_sorted=True,
-                )
-                cnt = jax.ops.segment_sum(
-                    m, src_c[j], num_segments=graph.num_nodes,
-                    indices_are_sorted=True,
-                )
-                agg = tot / jnp.maximum(cnt, 1.0)[:, None]
+                # hop 0 aggregates the constant input features; its cached
+                # value comes from outside the epoch scan (epoch-invariant)
+                agg = agg0 if j == 0 else agg_hop(h, src_c[j], dst_c[j], mask_c[j])
                 h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
                 if train and cfg.dropout > 0:
                     k = jax.random.fold_in(rng, j)
@@ -160,8 +170,12 @@ def evaluate_candidates(
             return jax.nn.log_softmax(h, axis=1)
 
         def train_one(p0, src_c, dst_c, mask_c, drop_key):
+            agg0 = agg_hop(x, src_c[0], dst_c[0], mask_c[0])
+
             def loss_fn(p, rng):
-                logp = forward(p, src_c, dst_c, mask_c, rng, True)[train_idx]
+                logp = forward(
+                    p, src_c, dst_c, mask_c, rng, True, agg0
+                )[train_idx]
                 return -jnp.mean(
                     jnp.take_along_axis(logp, train_y[:, None], axis=1)
                 )
@@ -177,7 +191,7 @@ def evaluate_candidates(
             (p, _), _ = jax.lax.scan(
                 epoch, (p0, tx.init(p0)), jnp.arange(cfg.epochs)
             )
-            outp = forward(p, src_c, dst_c, mask_c, drop_key, False)
+            outp = forward(p, src_c, dst_c, mask_c, drop_key, False, agg0)
             preds = jnp.argmax(outp, axis=1)
             return macro_f1(preds[val_idx], val_y, num_classes)
 
@@ -227,17 +241,15 @@ def _evaluate_candidates_dense(
     tx = make_optimizer(cfg)
     for L, group in sorted(by_len.items()):
         C = len(group)
-        # static per-hop masks [Ru][C]
-        hop_masks = []
+        # static per-hop candidate groups: (rel_index, (cand indices...))
+        hop_groups = []
         for j in range(L):
-            masks = tuple(
-                np.array(
-                    [1.0 if r_index[p[j]] == ri else 0.0 for p in group],
-                    np.float32,
-                )
-                for ri in range(len(uniq))
+            members: Dict[int, List[int]] = {}
+            for c, p in enumerate(group):
+                members.setdefault(r_index[p[j]], []).append(c)
+            hop_groups.append(
+                tuple((ri, tuple(cs)) for ri, cs in sorted(members.items()))
             )
-            hop_masks.append(masks)
 
         keys = jax.random.split(jax.random.PRNGKey(seed), C)
         params0 = jax.vmap(
@@ -246,13 +258,17 @@ def _evaluate_candidates_dense(
         )(keys)
         drop_key = jax.random.PRNGKey(seed + 1)
 
-        def forward(ps, adj, adj_t, rng, train):
+        def forward(ps, adj, adj_t, rng, train, agg0):
             h = jnp.broadcast_to(x, (C,) + x.shape)
             for j in range(L):
                 conv_w = ps.convs[0][j].weight      # [C, in, out]
                 conv_r = ps.convs[0][j].root
                 conv_b = ps.convs[0][j].bias
-                agg = _masked_dense_agg(adj, adj_t, h, hop_masks[j])
+                # hop 0 aggregates the constant input features (cached
+                # outside the epoch scan)
+                agg = agg0 if j == 0 else _grouped_dense_agg(
+                    adj, adj_t, h, hop_groups[j]
+                )
                 h = jax.nn.relu(
                     jnp.einsum("cnf,cfo->cno", agg, conv_w,
                                preferred_element_type=jnp.float32)
@@ -273,8 +289,8 @@ def _evaluate_candidates_dense(
                            preferred_element_type=jnp.float32) + ps.fc2.b[:, None, :]
             return jax.nn.log_softmax(h, axis=2)
 
-        def loss_fn(ps, adj, adj_t, rng):
-            logp = forward(ps, adj, adj_t, rng, True)[:, train_idx, :]
+        def loss_fn(ps, adj, adj_t, rng, agg0):
+            logp = forward(ps, adj, adj_t, rng, True, agg0)[:, train_idx, :]
             nll = -jnp.take_along_axis(
                 logp, jnp.broadcast_to(train_y[None, :, None],
                                        (C, len(split.train_y), 1)), axis=2
@@ -283,11 +299,15 @@ def _evaluate_candidates_dense(
 
         @jax.jit
         def run(ps, adj, adj_t):
+            agg0 = _grouped_dense_agg_impl(
+                adj, jnp.broadcast_to(x, (C,) + x.shape), hop_groups[0]
+            )
+
             def epoch(carry, e):
                 ps, st = carry
                 rng = jax.random.fold_in(drop_key, e)
                 (tot, per), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                    ps, adj, adj_t, rng
+                    ps, adj, adj_t, rng, agg0
                 )
                 upd, st = tx.update(g, st, ps)
                 return (optax.apply_updates(ps, upd), st), per
@@ -295,7 +315,7 @@ def _evaluate_candidates_dense(
             (ps, _), _ = jax.lax.scan(
                 epoch, (ps, tx.init(ps)), jnp.arange(cfg.epochs)
             )
-            logp = forward(ps, adj, adj_t, drop_key, False)
+            logp = forward(ps, adj, adj_t, drop_key, False, agg0)
             preds = jnp.argmax(logp, axis=2)
             f1s = jax.vmap(
                 lambda pr: macro_f1(pr[val_idx], val_y, num_classes)

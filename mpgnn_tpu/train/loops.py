@@ -25,7 +25,12 @@ import optax
 
 from mpgnn_tpu.config import MPGNNConfig
 from mpgnn_tpu.graph.hetero import HeteroGraph, NodeSplit
-from mpgnn_tpu.models.mpgnn import MPGNNParams, init_mpgnn, mpgnn_forward
+from mpgnn_tpu.models.mpgnn import (
+    MPGNNParams,
+    init_mpgnn,
+    mpgnn_forward,
+    precompute_first_hop,
+)
 from mpgnn_tpu.ops.spmm import dense_adjacency
 from mpgnn_tpu.train.metrics import macro_f1
 
@@ -194,12 +199,15 @@ def _train_program(
     def run(params0, hop_data, x, train_idx, train_y, val_idx, val_y,
             test_idx, test_y, drop_key, cw):
         ops = retag_hop_ops(kinds_key, hop_data)
+        # Hop-0 aggregates the constant input features: compute it ONCE here
+        # (outside the epoch scan) and reuse it in all `epochs` iterations.
+        first_aggs = precompute_first_hop(x, ops, compute_dtype)
 
         def loss_fn(params, rng):
             out = mpgnn_forward(
                 params, x, ops,
                 dropout_rate=dropout, dropout_rng=rng, train=True,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, first_hop_agg=first_aggs,
             )
             logp = out[train_idx]
             per = -jnp.take_along_axis(logp, train_y[:, None], axis=1)[:, 0]
@@ -208,7 +216,8 @@ def _train_program(
 
         def eval_metrics(params):
             out = mpgnn_forward(
-                params, x, ops, train=False, compute_dtype=compute_dtype
+                params, x, ops, train=False, compute_dtype=compute_dtype,
+                first_hop_agg=first_aggs,
             )
             preds = jnp.argmax(out, axis=1)
             return (

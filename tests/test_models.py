@@ -243,3 +243,30 @@ def test_all_backends_agree_on_random_graphs(seed):
         tol = 3e-2 if backend == "pallas" else 1e-4  # bf16 adjacency
         np.testing.assert_allclose(out, ref, rtol=tol, atol=tol,
                                    err_msg=backend)
+
+
+def test_first_hop_precompute_is_exact(tiny_graph):
+    """precompute_first_hop + mpgnn_forward(first_hop_agg=...) must be
+    bit-identical to the uncached forward: hop 0 aggregates the constant
+    input features, so caching it outside the epoch loop is pure CSE."""
+    from mpgnn_tpu.models.mpgnn import mpgnn_forward, precompute_first_hop
+
+    g = tiny_graph
+    metapaths = [[0, 1], [2, 0]]
+    params = init_mpgnn(jax.random.PRNGKey(3), g.feat_dim, 6, 2, metapaths)
+    x = jnp.asarray(g.x)
+    for backend in ("segment", "ell", "dense"):
+        ops = build_hop_arrays(g, metapaths, pad_multiple=8, backend=backend)
+        base = mpgnn_forward(params, x, ops, train=False)
+        aggs = precompute_first_hop(x, ops)
+        cached = mpgnn_forward(
+            params, x, ops, train=False, first_hop_agg=aggs
+        )
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+        # train mode (dropout active) with the same rng must also agree
+        rng = jax.random.PRNGKey(7)
+        bt = mpgnn_forward(params, x, ops, train=True, dropout_rng=rng)
+        ct = mpgnn_forward(
+            params, x, ops, train=True, dropout_rng=rng, first_hop_agg=aggs
+        )
+        np.testing.assert_array_equal(np.asarray(bt), np.asarray(ct))
