@@ -38,8 +38,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=1000, help="MPGNN eval epochs")
     p.add_argument("--max_hops", type=int, default=3, help="extension hops")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", type=str, default="segment",
-                   choices=["segment", "ell", "dense", "pallas", "onehot"])
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "segment", "ell", "dense", "pallas",
+                            "onehot"],
+                   help="MPGNN aggregation backend; 'auto' picks dense "
+                        "(MXU GEMM) when the relations' adjacencies fit "
+                        "HBM, segment otherwise")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--save_model", type=str, default=None,
@@ -112,7 +116,8 @@ def main(argv=None):
     cfg = SearchConfig(
         max_extension_hops=args.max_hops,
         mpgnn=MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim,
-                          compute_dtype=args.compute_dtype),
+                          compute_dtype=args.compute_dtype,
+                          backend=args.backend),
     )
 
     ckpt = SearchCheckpoint(args.pickle_filename) if args.pickle_filename else None

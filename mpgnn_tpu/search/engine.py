@@ -290,12 +290,10 @@ def find_metapaths(
     if batched_eval:
         from mpgnn_tpu.train.batch_eval import evaluate_candidates
 
-        # measured on hardware: the vmapped segment path (44.5s for 30
-        # candidates x 1000 epochs on the shipped len-3 graph) beats the
-        # dense batched-GEMM path (423s warm) — the per-relation NxN GEMM
-        # against every candidate does Ru x C x N^2 x F work while the
-        # scatters, though serialized, touch only E rows. segment stays the
-        # default; 'dense' remains available via evaluate_candidates.
+        # measured on hardware (30 candidates x 1000 epochs, shipped-scale
+        # graph): vmapped segment 13.0s vs grouped-dense GEMM 16.6s (with
+        # hop-0 aggregation cached outside the epoch scan) — segment stays
+        # the default; 'dense' remains available via evaluate_candidates.
         val_by_path = evaluate_candidates(
             graph, final_paths, split, num_classes, cfg.mpgnn,
             seed=seed, x_override=x,

@@ -101,16 +101,25 @@ def evaluate_candidates(
     cfg: Optional[MPGNNConfig] = None,
     seed: int = 0,
     x_override: Optional[np.ndarray] = None,
-    backend: str = "segment",
+    backend: Optional[str] = None,
 ) -> Dict[str, float]:
     """Train one single-metapath MPGNN per candidate, ALL candidates at once
     (grouped by length), returning {str(path): last-epoch val macro-F1} —
     the quantity mpgnn_parallel_multiple returns (main.py:1117-1134).
 
     backend='dense' replaces the vmapped segment aggregation (whose scatters
-    serialize per batch element on TPU) with per-unique-relation batched
-    GEMMs + candidate masks — preferable whenever the [N, N] adjacencies of
-    the involved relations fit HBM."""
+    serialize per batch element on TPU) with grouped per-relation batched
+    GEMMs — preferable whenever the [N, N] adjacencies of the involved
+    relations fit HBM. Default: ``cfg.backend`` ('auto' resolved per
+    workload; 'ell' falls back to the vmapped segment path here)."""
+    backend = backend or (cfg.backend if cfg else "segment")
+    if backend in ("auto", "ell"):
+        # measured (v5e, 30 candidates x 1000 epochs, shipped-scale graph):
+        # vmapped segment 13.0s vs grouped dense 16.6s — with the hop-0
+        # aggregation cached, the batched scatters beat the grouped GEMMs'
+        # extra gather/concat traffic, so 'auto' is segment HERE (for
+        # single-model training dense wins; see loops.resolve_backend)
+        backend = "segment"
     if backend == "dense":
         return _evaluate_candidates_dense(
             graph, paths, split, num_classes, cfg, seed, x_override

@@ -39,6 +39,30 @@ def _round_up(n: int, m: int = 128) -> int:
     return max(m, -(-n // m) * m)
 
 
+# 'auto' chooses dense only while every involved relation's (A, A^T) f32
+# pair fits comfortably in HBM next to activations/params (v5e has 16 GiB).
+AUTO_DENSE_BUDGET_BYTES = 4 << 30
+
+
+def resolve_backend(
+    backend: str,
+    graph: HeteroGraph,
+    metapaths: Sequence[Sequence[int]],
+    budget_bytes: int = AUTO_DENSE_BUDGET_BYTES,
+) -> str:
+    """Resolve the 'auto' aggregation backend for a concrete workload.
+
+    dense turns each hop into one MXU GEMM and measured fastest at
+    reference scale (docs/DESIGN.md §2), but costs 2·Ru·N²·4 bytes of
+    precomputed (A, A^T); past the budget the O(E) segment path wins by
+    default. Explicit backends pass through unchanged."""
+    if backend != "auto":
+        return backend
+    uniq = {int(r) for mp in metapaths for r in mp}
+    dense_bytes = 2 * len(uniq) * graph.num_nodes * graph.num_nodes * 4
+    return "dense" if dense_bytes <= budget_bytes else "segment"
+
+
 def build_hop_arrays(
     graph: HeteroGraph,
     metapaths: Sequence[Sequence[int]],
@@ -271,7 +295,7 @@ def train_mpgnn(
     seed: int = 0,
     track_best: bool = False,
     x_override: Optional[np.ndarray] = None,
-    backend: str = "segment",
+    backend: Optional[str] = None,
     class_weighted: bool = False,
 ) -> MPGNNTrainResult:
     """Train an MPGNN on the given metapath set; full-graph, jitted scan.
@@ -280,9 +304,13 @@ def train_mpgnn(
     (class weights are computed but NOT applied in the reference,
     main.py:1065 — ``class_weighted=True`` opts into applying the balanced
     weights, as the reference's RGCN baseline does at main_rgcn.py:379),
-    Adam(0.01, wd=5e-4), 1000 epochs, dropout 0.6."""
+    Adam(0.01, wd=5e-4), 1000 epochs, dropout 0.6.
+
+    ``backend`` (default: ``cfg.backend``) may be 'auto' — resolved per
+    workload by ``resolve_backend``."""
     cfg = cfg or MPGNNConfig()
     metapaths = [list(mp) for mp in metapaths]
+    backend = resolve_backend(backend or cfg.backend, graph, metapaths)
     x = jnp.asarray(x_override if x_override is not None else graph.x)
     hop_ops = build_hop_arrays(graph, metapaths, backend=backend)
     # Split tagged ops into a static kind structure + a dynamic array pytree:
