@@ -77,22 +77,25 @@ def main():
 
         dt_c = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
-        def loss_fn(p, rng_, ops):
+        def loss_fn(p, rng_, ops, fa):
             out = mpgnn_forward(
                 p, xj, ops, dropout_rate=cfg.dropout, dropout_rng=rng_,
-                train=True, compute_dtype=dt_c,
+                train=True, compute_dtype=dt_c, first_hop_agg=fa,
             )
             logp = out[train_idx]
             return -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], 1))
 
         @jax.jit
         def run(p, d):
+            from mpgnn_tpu.models.mpgnn import precompute_first_hop
+
             ops = retag_hop_ops(kinds, d)
+            fa = precompute_first_hop(xj, ops, dt_c)
 
             def epoch(carry, e):
                 p, st = carry
                 loss, g = jax.value_and_grad(loss_fn)(
-                    p, jax.random.fold_in(key, e), ops
+                    p, jax.random.fold_in(key, e), ops, fa
                 )
                 upd, st = tx.update(g, st, p)
                 return (optax.apply_updates(p, upd), st), loss

@@ -77,6 +77,7 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
     ``op`` is a tagged tuple produced by train.loops.build_hop_arrays:
       ('segment', src, dst, mask)  — sorted segment-mean (general)
       ('ell', nbr, nbr_mask)       — padded neighbor-table gather
+      ('ell2', out_nbr, out_w, in_nbr, in_w) — gather-only both directions
       ('dense', adj, adj_t)        — normalized adjacency GEMM (MXU path;
                                      transpose precomputed for the VJP)
       ('onehot', fwd, bwd)         — scatter-free block one-hot batched GEMM
@@ -99,6 +100,13 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
 
         _, adj, adj_t = op
         return dense_mean_aggregate(adj, adj_t, h)
+    if kind == "ell2":
+        from mpgnn_tpu.ops.spmm import Ell2Operand, ell2_mean_aggregate
+
+        _, out_nbr, out_w, in_nbr, in_w = op
+        return ell2_mean_aggregate(
+            Ell2Operand(out_nbr, out_w, in_nbr, in_w), h
+        )
     if kind == "pallas":
         from mpgnn_tpu.ops.pallas_spmm import pallas_spmm_mean
 

@@ -39,8 +39,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_hops", type=int, default=3, help="extension hops")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", type=str, default="auto",
-                   choices=["auto", "segment", "ell", "dense", "pallas",
-                            "onehot"],
+                   choices=["auto", "segment", "ell", "ell2", "dense",
+                            "pallas", "onehot"],
                    help="MPGNN aggregation backend; 'auto' picks dense "
                         "(MXU GEMM) when the relations' adjacencies fit "
                         "HBM, segment otherwise")

@@ -75,6 +75,8 @@ def build_hop_arrays(
     Backends (same math, different TPU mappings):
       * 'segment' — src-sorted padded edge arrays -> sorted segment-mean.
       * 'ell'     — padded neighbor tables -> dense gather + masked mean.
+      * 'ell2'    — paired out/in tables, gather-only in BOTH directions
+                    (transposed-table VJP; no scatter anywhere).
       * 'dense'   — precomputed row-normalized adjacency -> one MXU GEMM
                     per hop; fastest whenever A_r fits HBM. Adjacencies are
                     cached per relation and shared across hops/candidates.
@@ -100,6 +102,22 @@ def build_hop_arrays(
             elif backend == "ell":
                 nbr, mask = graph.neighbor_table(rel)
                 ops.append(("ell", jnp.asarray(nbr), jnp.asarray(mask)))
+            elif backend == "ell2":
+                # gather-only in BOTH directions (transposed-table VJP) —
+                # no scatter anywhere; candidate when XLA scatter-add is
+                # the bottleneck
+                from mpgnn_tpu.ops.spmm import build_ell2_operand
+
+                key = ("ell2", rel)
+                if key not in dense_cache:
+                    s, d = graph.rel_edges(rel)
+                    dense_cache[key] = build_ell2_operand(
+                        s, d, graph.num_nodes
+                    )
+                op2 = dense_cache[key]
+                ops.append(
+                    ("ell2", op2.out_nbr, op2.out_w, op2.in_nbr, op2.in_w)
+                )
             elif backend == "dense":
                 if rel not in dense_cache:
                     s, d = graph.rel_edges(rel)

@@ -249,3 +249,18 @@ def test_bf16_compute_path_matches_f32(planted):
         np.argmax(np.asarray(out32), 1) == np.argmax(np.asarray(out16), 1)
     )
     assert agree > 0.99
+
+
+def test_resolve_backend_auto(planted):
+    """'auto' -> dense under the HBM budget, segment above it; explicit
+    backends pass through."""
+    from mpgnn_tpu.train.loops import resolve_backend
+
+    graph, labels = planted
+    mps = [[0, 1]]
+    assert resolve_backend("segment", graph, mps) == "segment"
+    assert resolve_backend("auto", graph, mps) == "dense"
+    # shrink the budget below 2 * Ru * N^2 * 4 bytes -> falls back
+    n = graph.num_nodes
+    tight = 2 * 2 * n * n * 4 - 1
+    assert resolve_backend("auto", graph, mps, budget_bytes=tight) == "segment"
