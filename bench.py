@@ -72,7 +72,9 @@ def bench_jax(graph, labels):
         jax.random.PRNGKey(0), graph.feat_dim, HIDDEN, 2, [METAPATH]
     )
     tx = make_optimizer(cfg)
-    drop_key = jax.random.PRNGKey(1)
+    from mpgnn_tpu.train.loops import make_dropout_key
+
+    drop_key = make_dropout_key(jax.random.PRNGKey(1), 1, "auto")
 
     import os
 

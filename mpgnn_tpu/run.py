@@ -55,6 +55,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_warm", action="store_true",
                    help="disable the background compile-ahead warmer "
                         "(utils/warm.py)")
+    p.add_argument("--dropout_rng", type=str, default="auto",
+                   choices=["auto", "threefry", "rbg"],
+                   help="dropout-mask RNG; 'auto' = hardware rbg on TPU "
+                        "(threefry mask generation measured ~32%% of a "
+                        "training epoch)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="MPGNN activation/GEMM precision (params stay f32; "
@@ -117,7 +122,8 @@ def main(argv=None):
         max_extension_hops=args.max_hops,
         mpgnn=MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim,
                           compute_dtype=args.compute_dtype,
-                          backend=args.backend),
+                          backend=args.backend,
+                          dropout_rng=args.dropout_rng),
     )
 
     ckpt = SearchCheckpoint(args.pickle_filename) if args.pickle_filename else None

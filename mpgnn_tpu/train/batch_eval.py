@@ -204,8 +204,13 @@ def evaluate_candidates(
             preds = jnp.argmax(outp, axis=1)
             return macro_f1(preds[val_idx], val_y, num_classes)
 
+        from mpgnn_tpu.train.loops import make_dropout_key
+
+        base_key = make_dropout_key(
+            jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
+        )
         drop_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            jax.random.PRNGKey(seed + 1), jnp.arange(C)
+            base_key, jnp.arange(C)
         )
         val_f1 = jax.jit(jax.vmap(train_one))(
             params0, src, dst, mask, drop_keys
@@ -265,7 +270,11 @@ def _evaluate_candidates_dense(
             lambda key: init_mpgnn(key, graph.feat_dim, cfg.hidden_dim,
                                    num_classes, [[0] * L])
         )(keys)
-        drop_key = jax.random.PRNGKey(seed + 1)
+        from mpgnn_tpu.train.loops import make_dropout_key
+
+        drop_key = make_dropout_key(
+            jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
+        )
 
         def forward(ps, adj, adj_t, rng, train, agg0):
             h = jnp.broadcast_to(x, (C,) + x.shape)
