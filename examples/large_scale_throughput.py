@@ -68,7 +68,9 @@ def main():
     train_y = jnp.asarray(split.train_y)
     params0 = init_mpgnn(jax.random.PRNGKey(0), 16, args.hidden, 2, [metapath])
     tx = make_optimizer(cfg)
-    key = jax.random.PRNGKey(1)
+    from mpgnn_tpu.train.loops import make_dropout_key
+
+    key = make_dropout_key(jax.random.PRNGKey(1), 1, "auto")
 
     results = {}
     for backend in args.backends.split(","):
