@@ -55,6 +55,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_warm", action="store_true",
                    help="disable the background compile-ahead warmer "
                         "(utils/warm.py)")
+    p.add_argument("--bag_gap_inclusive", action="store_true",
+                   help="use the hop-0-style <= gap cut at bag hops too "
+                        "(fixes the reference's strict-< cut that blocks "
+                        "extension when one relation clearly wins; "
+                        "18/18 vs 6/18 planted-path recovery, BASELINE.md)")
+    p.add_argument("--top_k_final", type=int, default=3,
+                   help="how many top-val-F1 metapaths enter the greedy "
+                        "test accumulation (reference: 3, main.py:1465)")
     p.add_argument("--dropout_rng", type=str, default="auto",
                    choices=["auto", "threefry", "rbg"],
                    help="dropout-mask RNG; 'auto' = hardware rbg on TPU "
@@ -120,6 +128,8 @@ def main(argv=None):
 
     cfg = SearchConfig(
         max_extension_hops=args.max_hops,
+        bag_gap_inclusive=args.bag_gap_inclusive,
+        top_k_final=args.top_k_final,
         mpgnn=MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim,
                           compute_dtype=args.compute_dtype,
                           backend=args.backend,

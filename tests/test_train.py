@@ -264,3 +264,20 @@ def test_resolve_backend_auto(planted):
     n = graph.num_nodes
     tight = 2 * 2 * n * n * 4 - 1
     assert resolve_backend("auto", graph, mps, budget_bytes=tight) == "segment"
+
+
+def test_train_with_rbg_dropout_runs(planted):
+    """dropout_rng='rbg' (hardware RngBitGenerator) trains to the same
+    quality as threefry — only the dropout stream differs, init is
+    identical."""
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=40, hidden_dim=16, dropout_rng="rbg")
+    res = train_mpgnn(graph, [[1, 0]], split, 2, cfg, seed=0)
+    assert np.isfinite(res.final_loss)
+    ref = train_mpgnn(
+        graph, [[1, 0]], split, 2,
+        MPGNNConfig(epochs=40, hidden_dim=16, dropout_rng="threefry"), seed=0,
+    )
+    # same planted task, both streams should learn comparably
+    assert res.train_f1 > 0.8 and ref.train_f1 > 0.8
