@@ -178,6 +178,13 @@ def find_metapaths(
         final_paths: List[List[int]] = [list(s.path) for s in current]
         start_hop = 0
         save_frontier(0, current, final_paths)
+        # the length-1 candidate group is now final: AOT-compile its final-
+        # eval program in the background while the extension hops run
+        if warmer is not None and batched_eval and cfg.max_extension_hops > 0:
+            warmer.warm_eval(
+                graph, [p for p in final_paths if len(p) == 1], split,
+                num_classes, cfg.mpgnn, seed, x,
+            )
     else:
         current = resume["current"]
         final_paths = resume["final_paths"]
@@ -279,6 +286,16 @@ def find_metapaths(
                 )
         current = next_states
         save_frontier(k + 1, current, final_paths)
+        # this hop's new candidate length (k + 2) is final — warm its eval
+        # program while later hops (if any) own the device
+        if (
+            warmer is not None and batched_eval and current
+            and k + 1 < cfg.max_extension_hops
+        ):
+            warmer.warm_eval(
+                graph, [p for p in final_paths if len(p) == k + 2], split,
+                num_classes, cfg.mpgnn, seed, x,
+            )
         if not current:
             break
 

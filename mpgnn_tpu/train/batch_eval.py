@@ -102,6 +102,7 @@ def evaluate_candidates(
     seed: int = 0,
     x_override: Optional[np.ndarray] = None,
     backend: Optional[str] = None,
+    compile_only: bool = False,
 ) -> Dict[str, float]:
     """Train one single-metapath MPGNN per candidate, ALL candidates at once
     (grouped by length), returning {str(path): last-epoch val macro-F1} —
@@ -111,7 +112,15 @@ def evaluate_candidates(
     serialize per batch element on TPU) with grouped per-relation batched
     GEMMs — preferable whenever the [N, N] adjacencies of the involved
     relations fit HBM. Default: ``cfg.backend`` ('auto' resolved per
-    workload; 'ell' falls back to the vmapped segment path here)."""
+    workload; 'ell' falls back to the vmapped segment path here).
+
+    ``compile_only=True`` AOT-compiles every length group's program
+    (``jit(...).lower(...).compile()``) WITHOUT touching the device and
+    returns {} — it populates the persistent compilation cache so a later
+    identical call pays no compile. The search engine warms each length
+    group in a background thread the moment that group's candidate set is
+    final (its hop completed), hiding final-eval compiles behind the
+    remaining hops' device work."""
     backend = backend or (cfg.backend if cfg else "segment")
     if backend in ("auto", "ell"):
         # measured (v5e, 30 candidates x 1000 epochs, shipped-scale graph):
@@ -122,7 +131,8 @@ def evaluate_candidates(
         backend = "segment"
     if backend == "dense":
         return _evaluate_candidates_dense(
-            graph, paths, split, num_classes, cfg, seed, x_override
+            graph, paths, split, num_classes, cfg, seed, x_override,
+            compile_only,
         )
     cfg = cfg or MPGNNConfig()
     paths = [list(p) for p in paths]
@@ -212,16 +222,19 @@ def evaluate_candidates(
         drop_keys = jax.vmap(jax.random.fold_in, (None, 0))(
             base_key, jnp.arange(C)
         )
-        val_f1 = jax.jit(jax.vmap(train_one))(
-            params0, src, dst, mask, drop_keys
-        )
+        jf = jax.jit(jax.vmap(train_one))
+        if compile_only:
+            jf.lower(params0, src, dst, mask, drop_keys).compile()
+            continue
+        val_f1 = jf(params0, src, dst, mask, drop_keys)
         for p, f in zip(group, np.asarray(val_f1)):
             out[str(p)] = float(f)
     return out
 
 
 def _evaluate_candidates_dense(
-    graph, paths, split, num_classes, cfg, seed, x_override
+    graph, paths, split, num_classes, cfg, seed, x_override,
+    compile_only=False,
 ):
     """Dense-GEMM batched candidate evaluation (see evaluate_candidates)."""
     cfg = cfg or MPGNNConfig()
@@ -340,6 +353,9 @@ def _evaluate_candidates_dense(
             )(preds)
             return f1s
 
+        if compile_only:
+            run.lower(params0, adj, adj_t).compile()
+            continue
         f1s = np.asarray(run(params0, adj, adj_t))
         for p, f in zip(group, f1s):
             out[str(p)] = float(f)

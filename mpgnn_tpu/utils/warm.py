@@ -143,6 +143,28 @@ class ProgramWarmer:
 
         self._submit(("bag", R, N, D, B, M, F, epochs, lr), build_and_call)
 
+    def warm_eval(
+        self, graph, paths, split, num_classes, cfg, seed, x_override
+    ) -> None:
+        """AOT-compile the batched final-eval program for one candidate-
+        length group the moment its membership is final (its hop finished):
+        ``evaluate_candidates(compile_only=True)`` lowers+compiles without
+        touching the device, so the compile overlaps the remaining hops'
+        sweeps and the search's final eval is a cache hit."""
+        if not paths:
+            return
+        key = ("eval", tuple(tuple(int(r) for r in p) for p in paths))
+
+        def build():
+            from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+            evaluate_candidates(
+                graph, paths, split, num_classes, cfg, seed=seed,
+                x_override=x_override, compile_only=True,
+            )
+
+        self._submit(key, build)
+
     # ---------------------------------------------------------------- sync
     def wait(self, timeout: Optional[float] = None) -> None:
         """Block until all submitted warms finish (tests / shutdown)."""
