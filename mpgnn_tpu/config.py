@@ -51,11 +51,13 @@ class MPGNNConfig:
     # for the gather/scatter aggregation) while params, optimizer state and
     # the loss/log_softmax stay f32. No reference equivalent (torch-CPU f32).
     compute_dtype: str = "float32"
-    # Aggregation backend for MPGNN training/eval: "segment" | "ell" |
-    # "dense" | "auto". "auto" picks the dense normalized-adjacency MXU
-    # path when the involved relations' [N, N] (A, A^T) pairs fit a
-    # conservative HBM budget (fastest at reference scale, docs/DESIGN.md
-    # §2) and falls back to the O(E) segment path for larger graphs.
+    # Aggregation backend for MPGNN training/eval: "auto" | "segment" |
+    # "ell" | "ell2" | "dense" | "pallas" | "onehot". "auto" picks the
+    # dense normalized-adjacency MXU path when the involved relations'
+    # [N, N] (A, A^T) pairs fit a conservative HBM budget (fastest at
+    # reference scale, docs/DESIGN.md §2) and falls back to the O(E)
+    # segment path for larger graphs. The batched candidate eval supports
+    # segment/dense only and coerces the rest to segment (logged).
     backend: str = "segment"
     # Dropout-mask RNG: "threefry" (JAX default, deterministic across
     # backends) | "rbg" (XLA hardware RngBitGenerator) | "auto" (rbg on

@@ -120,6 +120,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     folder = args.folder.rstrip("/") + "/"
+
+    from mpgnn_tpu.utils.prof import enable_compilation_cache
+
+    enable_compilation_cache()
     source_nodes = None
     if args.dataset == "fb15k-237":
         graph, labels, _, source_nodes = load_fb15k237(

@@ -87,6 +87,12 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    from mpgnn_tpu.utils.prof import enable_compilation_cache
+
+    # persistent compile cache: remote compiles cost 20-577s over the TPU
+    # tunnel (docs/DESIGN.md §3) — every program should compile once per VM
+    enable_compilation_cache()
+
     from mpgnn_tpu.config import MPGNNConfig, SearchConfig
     from mpgnn_tpu.graph.io import (
         load_dat_files,

@@ -189,6 +189,15 @@ def find_metapaths(
         current = resume["current"]
         final_paths = resume["final_paths"]
         start_hop = resume["hop"]
+        # groups finalized before the crash still need their final-eval
+        # programs: warm every already-final length (1 .. start_hop + 1)
+        if warmer is not None and batched_eval:
+            for length in range(1, start_hop + 2):
+                warmer.warm_eval(
+                    graph,
+                    [p for p in final_paths if len(p) == length],
+                    split, num_classes, cfg.mpgnn, seed, x,
+                )
 
     # ------------------------------------------------------- hops 1..max
     for k in range(start_hop, cfg.max_extension_hops):

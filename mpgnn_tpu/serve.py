@@ -113,6 +113,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    from mpgnn_tpu.utils.prof import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mpgnn_tpu.graph.io import load_dat_files
 
     folder = args.folder.rstrip("/") + "/"

@@ -153,6 +153,12 @@ class ProgramWarmer:
         sweeps and the search's final eval is a cache hit."""
         if not paths:
             return
+        if cfg.backend == "dense":
+            # the dense eval program's adjacency stack + static groups
+            # depend on the FULL final path set, not one length group —
+            # a per-group warm would compile a program the final call can
+            # never reuse (and allocate [Ru, N, N] stacks on device)
+            return
         key = ("eval", tuple(tuple(int(r) for r in p) for p in paths))
 
         def build():
