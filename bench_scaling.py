@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
+    from mpgnn_tpu.utils.prof import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.platform == "cpu" and "jax" not in sys.modules:
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
         os.environ["JAX_PLATFORMS"] = "cpu"

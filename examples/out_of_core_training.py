@@ -34,6 +34,10 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
+    from mpgnn_tpu.utils.prof import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import numpy as np
 
     from mpgnn_tpu.config import MPGNNConfig

@@ -296,11 +296,12 @@ def find_metapaths(
         current = next_states
         save_frontier(k + 1, current, final_paths)
         # this hop's new candidate length (k + 2) is final — warm its eval
-        # program while later hops (if any) own the device
-        if (
-            warmer is not None and batched_eval and current
-            and k + 1 < cfg.max_extension_hops
-        ):
+        # program while later hops own the device. On the LAST hop the
+        # warm still wins: the final eval executes shorter-length groups
+        # first while this compile proceeds, and jit's per-signature
+        # compile lock on the shared _eval_program object means the real
+        # call waits for (not duplicates) an in-flight warm.
+        if warmer is not None and batched_eval and current:
             warmer.warm_eval(
                 graph, [p for p in final_paths if len(p) == k + 2], split,
                 num_classes, cfg.mpgnn, seed, x,

@@ -281,3 +281,27 @@ def test_train_with_rbg_dropout_runs(planted):
     )
     # same planted task, both streams should learn comparably
     assert res.train_f1 > 0.8 and ref.train_f1 > 0.8
+
+
+def test_evaluate_candidates_compile_only_shares_program(planted):
+    """compile_only warms the SAME lru-cached jit object the real call
+    uses: the warm returns {} without running, and the subsequent real
+    call produces normal results (in-process executable-cache hit)."""
+    from mpgnn_tpu.train import batch_eval
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=20, hidden_dim=8)
+    paths = [[0], [1], [1, 0]]
+    warm = evaluate_candidates(
+        graph, paths, split, 2, cfg, seed=5, compile_only=True
+    )
+    assert warm == {}
+    before = batch_eval._eval_program.cache_info()
+    res = evaluate_candidates(graph, paths, split, 2, cfg, seed=5)
+    after = batch_eval._eval_program.cache_info()
+    # the real call must reuse the warmed factory entries (one per length)
+    assert after.hits >= before.hits + 2
+    assert set(res) == {str(p) for p in paths}
+    assert all(0.0 <= v <= 1.0 for v in res.values())
