@@ -116,13 +116,15 @@ def evaluate_candidates(
 
     ``compile_only=True`` AOT-compiles every length group's program from
     ABSTRACT shapes (no operand reaches the device) and returns {}. The
-    program factory (``_eval_program``) is lru-cached at module level, so
-    the warm and the later real call share one jit object and the real
-    call is an in-process executable-cache hit (the persistent compilation
-    cache catches the cross-process case). The search engine warms each
-    length group in a background thread the moment that group's candidate
-    set is final (its hop completed), hiding final-eval compiles behind
-    the remaining hops' device work."""
+    ``Compiled`` executable is retained in ``_aot_store`` and invoked
+    directly by the later real call — neither jit's dispatch cache
+    (``.lower().compile()`` bypasses it) nor the persistent compilation
+    cache (a silent no-op on some PJRT plugins, e.g. this image's TPU
+    tunnel) can carry the warm. A real call that arrives while its warm
+    is still compiling WAITS on the in-flight event instead of launching
+    a duplicate remote compile. The search engine warms each length group
+    in a background thread the moment that group's candidate set is final
+    (its hop completed)."""
     backend = backend or (cfg.backend if cfg else "segment")
     if backend != "dense" and backend != "segment":
         # measured (v5e, 30 candidates x 1000 epochs, shipped-scale graph):
@@ -170,14 +172,21 @@ def evaluate_candidates(
         base_key = make_dropout_key(
             jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
         )
-        run = _eval_program(
+        sig = (
             L, graph.num_nodes, cfg.epochs, cfg.lr, cfg.weight_decay,
             cfg.dropout, num_classes,
         )
+        run = _eval_program(*sig)
+        aot_key = (sig, C, src.shape[2], graph.feat_dim, cfg.hidden_dim,
+                   str(base_key.dtype))
         if compile_only:
-            # abstract lowering: no operand ever reaches the device; the
-            # compiled executable lands in this SHARED lru-cached jit
-            # object's cache, so the later real call is an in-process hit
+            # abstract lowering: no operand ever reaches the device. The
+            # Compiled executable is KEPT (module store) and invoked
+            # directly by the later real call — neither jit's dispatch
+            # cache nor the persistent compilation cache can be relied on
+            # here (.lower().compile() bypasses the former; the latter is
+            # a silent no-op on some backends, e.g. this image's TPU
+            # tunnel plugin, measured in docs/DESIGN.md §3)
             params0_abs = jax.eval_shape(jax.vmap(init_one), keys)
             drop_abs = jax.eval_shape(
                 lambda k: jax.vmap(jax.random.fold_in, (None, 0))(
@@ -186,23 +195,46 @@ def evaluate_candidates(
                 base_key,
             )
             abs_ = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)  # noqa: E731
-            run.lower(
-                params0_abs, abs_(src), abs_(dst), abs_(mask), drop_abs,
-                abs_(x), abs_(train_idx), abs_(train_y), abs_(val_idx),
-                abs_(val_y),
-            ).compile()
+            ev = _aot_inflight.setdefault(aot_key, threading.Event())
+            try:
+                _aot_store[aot_key] = run.lower(
+                    params0_abs, abs_(src), abs_(dst), abs_(mask), drop_abs,
+                    abs_(x), abs_(train_idx), abs_(train_y), abs_(val_idx),
+                    abs_(val_y),
+                ).compile()
+            finally:
+                ev.set()
             continue
         params0 = jax.vmap(init_one)(keys)
         drop_keys = jax.vmap(jax.random.fold_in, (None, 0))(
             base_key, jnp.arange(C)
         )
-        val_f1 = run(
-            params0, src, dst, mask, drop_keys,
-            x, train_idx, train_y, val_idx, val_y,
-        )
+        args = (params0, src, dst, mask, drop_keys,
+                x, train_idx, train_y, val_idx, val_y)
+        # a background warm may still be compiling this signature: waiting
+        # beats launching a duplicate 20-577s remote compile
+        ev = _aot_inflight.get(aot_key)
+        if ev is not None and not ev.is_set():
+            ev.wait(timeout=900)
+        compiled = _aot_store.get(aot_key)
+        if compiled is not None:
+            try:
+                val_f1 = compiled(*args)
+            except Exception:   # aval mismatch etc. — recompile normally
+                val_f1 = run(*args)
+        else:
+            val_f1 = run(*args)
         for p, f in zip(group, np.asarray(val_f1)):
             out[str(p)] = float(f)
     return out
+
+
+# AOT-compiled eval executables from background warms, keyed by full static
+# + shape signature; see evaluate_candidates(compile_only=True)
+import threading  # noqa: E402
+
+_aot_store: Dict[tuple, object] = {}
+_aot_inflight: Dict[tuple, "threading.Event"] = {}
 
 
 @functools.lru_cache(maxsize=64)
