@@ -75,7 +75,9 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
     """Apply one hop's relation-masked mean aggregation.
 
     ``op`` is a tagged tuple produced by train.loops.build_hop_arrays:
-      ('segment', src, dst, mask)  — sorted segment-mean (general)
+      ('segment', src, dst, mask[, inv_deg])  — sorted segment-mean
+                                     (inv_deg: precomputed 1/deg removes
+                                     the count scatter)
       ('ell', nbr, nbr_mask)       — padded neighbor-table gather
       ('ell2', out_nbr, out_w, in_nbr, in_w) — gather-only both directions
       ('dense', adj, adj_t)        — normalized adjacency GEMM (MXU path;
@@ -86,6 +88,12 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
     compute the same mean (zero rows for edgeless sources)."""
     kind = op[0]
     if kind == "segment":
+        if len(op) == 5:
+            _, src, dst, mask, inv = op
+            return rel_mean_aggregate(
+                h, src, dst, num_nodes, mask, indices_are_sorted=True,
+                inv_count=inv,
+            )
         _, src, dst, mask = op
         return rel_mean_aggregate(
             h, src, dst, num_nodes, mask, indices_are_sorted=True

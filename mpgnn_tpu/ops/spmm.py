@@ -35,14 +35,27 @@ def rel_mean_aggregate(
     num_nodes: int,
     mask: Optional[jax.Array] = None,
     indices_are_sorted: bool = False,
+    inv_count: Optional[jax.Array] = None,
 ) -> jax.Array:
     """``segment`` backend: out[i] = mean_{(i,d) in edges} x[d].
 
     ``src``/``dst`` are one relation's (padded) edge endpoint arrays; padded
     entries are masked. Replaces PyG propagate + scatter-mean
-    (mp_rgcn_layer.py:236, aggr='mean' at :98)."""
+    (mp_rgcn_layer.py:236, aggr='mean' at :98).
+
+    ``inv_count`` ([num_nodes] = 1/max(deg, 1)) is graph-static: passing it
+    (build_hop_arrays precomputes it host-side) removes the count scatter —
+    HALF the scatter work per hop per epoch."""
     if mask is None:
         mask = jnp.ones_like(src, dtype=bool)
+    if inv_count is not None:
+        m = mask.astype(x.dtype)
+        gathered = x[dst] * m[:, None]
+        tot = jax.ops.segment_sum(
+            gathered, src, num_segments=num_nodes,
+            indices_are_sorted=indices_are_sorted,
+        )
+        return tot * inv_count.astype(x.dtype)[:, None]
     gathered = x[dst]
     return masked_segment_mean(
         gathered, src, mask, num_nodes, indices_are_sorted=indices_are_sorted

@@ -256,26 +256,31 @@ def _eval_program(
     @jax.jit
     def run(params0, src, dst, mask, drop_keys,
             x, train_idx, train_y, val_idx, val_y):
-        def agg_hop(h, src_j, dst_j, mask_j):
+        def agg_hop(h, src_j, dst_j, mask_j, invc_j):
             m = mask_j.astype(h.dtype)
             contrib = h[dst_j] * m[:, None]
             tot = jax.ops.segment_sum(
                 contrib, src_j, num_segments=num_nodes,
                 indices_are_sorted=True,
             )
-            cnt = jax.ops.segment_sum(
-                m, src_j, num_segments=num_nodes, indices_are_sorted=True,
-            )
-            return tot / jnp.maximum(cnt, 1.0)[:, None]
+            return tot * invc_j[:, None]
 
-        def forward(p, src_c, dst_c, mask_c, rng, train, agg0):
+        def hop_inv_count(src_j, mask_j):
+            cnt = jax.ops.segment_sum(
+                mask_j.astype(jnp.float32), src_j,
+                num_segments=num_nodes, indices_are_sorted=True,
+            )
+            return 1.0 / jnp.maximum(cnt, 1.0)
+
+        def forward(p, src_c, dst_c, mask_c, rng, train, agg0, invc):
             h = x
             for j in range(L):
                 conv = p.convs[0][j]
                 # hop 0 aggregates the constant input features; its cached
-                # value comes from outside the epoch scan (epoch-invariant)
+                # value comes from outside the epoch scan (epoch-invariant),
+                # as do the per-hop inverse degree vectors (graph-static)
                 agg = agg0 if j == 0 else agg_hop(
-                    h, src_c[j], dst_c[j], mask_c[j]
+                    h, src_c[j], dst_c[j], mask_c[j], invc[j]
                 )
                 h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
                 if train and dropout > 0:
@@ -287,11 +292,12 @@ def _eval_program(
             return jax.nn.log_softmax(h, axis=1)
 
         def train_one(p0, src_c, dst_c, mask_c, drop_key):
-            agg0 = agg_hop(x, src_c[0], dst_c[0], mask_c[0])
+            invc = [hop_inv_count(src_c[j], mask_c[j]) for j in range(L)]
+            agg0 = agg_hop(x, src_c[0], dst_c[0], mask_c[0], invc[0])
 
             def loss_fn(p, rng):
                 logp = forward(
-                    p, src_c, dst_c, mask_c, rng, True, agg0
+                    p, src_c, dst_c, mask_c, rng, True, agg0, invc
                 )[train_idx]
                 return -jnp.mean(
                     jnp.take_along_axis(logp, train_y[:, None], axis=1)
@@ -308,7 +314,9 @@ def _eval_program(
             (p, _), _ = jax.lax.scan(
                 epoch, (p0, tx.init(p0)), jnp.arange(epochs)
             )
-            outp = forward(p, src_c, dst_c, mask_c, drop_key, False, agg0)
+            outp = forward(
+                p, src_c, dst_c, mask_c, drop_key, False, agg0, invc
+            )
             preds = jnp.argmax(outp, axis=1)
             return macro_f1(preds[val_idx], val_y, num_classes)
 

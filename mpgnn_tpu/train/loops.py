@@ -96,8 +96,13 @@ def build_hop_arrays(
                 dp = np.zeros(e_pad, dtype=np.int32)
                 mk = np.zeros(e_pad, dtype=bool)
                 sp[:n], dp[:n], mk[:n] = s, d, True
+                # 1/deg is graph-static: shipping it removes the per-epoch
+                # count scatter (half the scatter work per hop)
+                deg = np.bincount(s, minlength=graph.num_nodes)
+                inv = (1.0 / np.maximum(deg, 1)).astype(np.float32)
                 ops.append(
-                    ("segment", jnp.asarray(sp), jnp.asarray(dp), jnp.asarray(mk))
+                    ("segment", jnp.asarray(sp), jnp.asarray(dp),
+                     jnp.asarray(mk), jnp.asarray(inv))
                 )
             elif backend == "ell":
                 nbr, mask = graph.neighbor_table(rel)
