@@ -298,9 +298,10 @@ def find_metapaths(
         # this hop's new candidate length (k + 2) is final — warm its eval
         # program while later hops own the device. On the LAST hop the
         # warm still wins: the final eval executes shorter-length groups
-        # first while this compile proceeds, and jit's per-signature
-        # compile lock on the shared _eval_program object means the real
-        # call waits for (not duplicates) an in-flight warm.
+        # first while this compile proceeds, and warm_eval registers its
+        # in-flight events synchronously, so a real call that reaches the
+        # group early waits on the event instead of duplicating the
+        # remote compile.
         if warmer is not None and batched_eval and current:
             warmer.warm_eval(
                 graph, [p for p in final_paths if len(p) == k + 2], split,

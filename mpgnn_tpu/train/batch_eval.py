@@ -24,11 +24,48 @@ from mpgnn_tpu.train.loops import make_dropout_key, make_optimizer
 from mpgnn_tpu.train.metrics import macro_f1
 
 
+def _e_pad(graph: HeteroGraph, paths: Sequence[Sequence[int]], pad: int = 128) -> int:
+    e_max = max(int(graph.rel_counts[r]) for p in paths for r in p)
+    return max(pad, -(-e_max // pad) * pad)
+
+
+def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str):
+    """Full compile signature of one length group's batched-eval program.
+
+    Everything the Compiled executable's argument avals depend on is in the
+    key — including the split index/label SHAPES (a later one-vs-rest class
+    with the same path set but a different split would otherwise find a
+    stale entry and pay the aval-mismatch fallback compile)."""
+    L, C = len(group[0]), len(group)
+    sig = (L, graph.num_nodes, cfg.epochs, cfg.lr, cfg.weight_decay,
+           cfg.dropout, num_classes)
+    return (sig, C, _e_pad(graph, group), graph.feat_dim, cfg.hidden_dim,
+            base_key_dtype, len(split.train_idx), len(split.val_idx))
+
+
+def eval_aot_keys(graph, paths, split, num_classes, cfg, seed):
+    """AOT-store keys for every length group of ``paths`` (host-side only).
+
+    Used by the warmer to register in-flight events SYNCHRONOUSLY before
+    handing the compile to a pool thread, so a real call that races the warm
+    always finds the event (never duplicates the remote compile)."""
+    cfg = cfg or MPGNNConfig()
+    base_key = make_dropout_key(
+        jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
+    )
+    by_len: Dict[int, List[List[int]]] = {}
+    for p in paths:
+        by_len.setdefault(len(p), []).append(list(p))
+    return [
+        _aot_key(graph, group, split, num_classes, cfg, str(base_key.dtype))
+        for _, group in sorted(by_len.items())
+    ]
+
+
 def _stack_hop_edges(graph: HeteroGraph, paths: List[List[int]], pad: int = 128):
     """[C, L, E_max] padded src/dst/mask for same-length candidate paths."""
     C, L = len(paths), len(paths[0])
-    e_max = max(int(graph.rel_counts[r]) for p in paths for r in p)
-    e_max = max(pad, -(-e_max // pad) * pad)
+    e_max = _e_pad(graph, paths, pad)
     src = np.full((C, L, e_max), graph.num_nodes - 1, dtype=np.int32)
     dst = np.zeros((C, L, e_max), dtype=np.int32)
     mask = np.zeros((C, L, e_max), dtype=bool)
@@ -177,8 +214,8 @@ def evaluate_candidates(
             cfg.dropout, num_classes,
         )
         run = _eval_program(*sig)
-        aot_key = (sig, C, src.shape[2], graph.feat_dim, cfg.hidden_dim,
-                   str(base_key.dtype))
+        aot_key = _aot_key(graph, group, split, num_classes, cfg,
+                           str(base_key.dtype))
         if compile_only:
             # abstract lowering: no operand ever reaches the device. The
             # Compiled executable is KEPT (module store) and invoked
@@ -202,6 +239,13 @@ def evaluate_candidates(
                     abs_(x), abs_(train_idx), abs_(train_y), abs_(val_idx),
                     abs_(val_y),
                 ).compile()
+                # bound the retained-executable footprint: warmed programs a
+                # real call never consumed (e.g. abandoned search branches)
+                # are evicted oldest-first past the cap
+                while len(_aot_store) > _AOT_STORE_CAP:
+                    victim = next(iter(_aot_store))
+                    _aot_store.pop(victim, None)
+                    _aot_inflight.pop(victim, None)
             finally:
                 ev.set()
             continue
@@ -220,7 +264,25 @@ def evaluate_candidates(
         if compiled is not None:
             try:
                 val_f1 = compiled(*args)
-            except Exception:   # aval mismatch etc. — recompile normally
+                # consumed: one executable per real call — evict so long
+                # multi-class/multi-dataset runs don't accumulate dead
+                # executables (run-internal retries go through `run` anyway)
+                _aot_store.pop(aot_key, None)
+                _aot_inflight.pop(aot_key, None)
+            except (TypeError, ValueError) as e:
+                # executable argument check failed (aval mismatch): the warm
+                # was built for different shapes. Recompile normally — but
+                # say so, this doubles a 20-577s remote compile. Any OTHER
+                # failure (device OOM, tunnel errors) propagates: silently
+                # retrying would mask real bugs.
+                import logging
+
+                logging.getLogger("mpgnn_tpu.batch_eval").warning(
+                    "AOT-warmed eval executable rejected its arguments "
+                    "(%s); recompiling this group", e,
+                )
+                _aot_store.pop(aot_key, None)
+                _aot_inflight.pop(aot_key, None)
                 val_f1 = run(*args)
         else:
             val_f1 = run(*args)
@@ -235,6 +297,8 @@ import threading  # noqa: E402
 
 _aot_store: Dict[tuple, object] = {}
 _aot_inflight: Dict[tuple, "threading.Event"] = {}
+_AOT_STORE_CAP = 32  # executables are evicted after first use; this bounds
+                     # warmed-but-never-consumed leftovers
 
 
 @functools.lru_cache(maxsize=64)

@@ -49,12 +49,15 @@ class ProgramWarmer:
         self._lock = threading.Lock()
         self._futures: List[Future] = []
 
-    def _submit(self, key, fn, *args, **kwargs) -> None:
+    def _claim(self, key) -> bool:
+        """Atomically mark ``key`` as handled; False if already seen."""
         with self._lock:
             if key in self._seen:
-                return
+                return False
             self._seen.add(key)
+            return True
 
+    def _enqueue(self, key, fn, *args, **kwargs) -> None:
         def task():
             import time
 
@@ -67,6 +70,10 @@ class ProgramWarmer:
 
         with self._lock:
             self._futures.append(self._pool.submit(task))
+
+    def _submit(self, key, fn, *args, **kwargs) -> None:
+        if self._claim(key):
+            self._enqueue(key, fn, *args, **kwargs)
 
     # ------------------------------------------------------------- warmers
     def poke_device(self) -> None:
@@ -159,17 +166,44 @@ class ProgramWarmer:
             # a per-group warm would compile a program the final call can
             # never reuse (and allocate [Ru, N, N] stacks on device)
             return
-        key = ("eval", tuple(tuple(int(r) for r in p) for p in paths))
+        from mpgnn_tpu.train import batch_eval as be
+
+        # dedup on the COMPILE signatures (shapes + statics incl. the split
+        # sizes and num_classes), not the path set: a later one-vs-rest
+        # class with an identical path set but different split/classes IS a
+        # different program and must be re-warmed
+        aot_keys = be.eval_aot_keys(
+            graph, paths, split, num_classes, cfg, seed
+        )
+        key = ("eval", tuple(aot_keys))
+        if not self._claim(key):
+            return
+        # register in-flight events SYNCHRONOUSLY, before the pool picks the
+        # task up: a real call that reaches this group while every warm
+        # worker is still busy must find the event and wait on it rather
+        # than duplicate the 20-577s remote compile. Registration happens
+        # only on a fresh claim — a consumed warm's popped events must not
+        # be resurrected as events nobody will set.
+        import threading as _threading
+
+        events = [
+            be._aot_inflight.setdefault(k, _threading.Event())
+            for k in aot_keys
+        ]
 
         def build():
-            from mpgnn_tpu.train.batch_eval import evaluate_candidates
+            try:
+                be.evaluate_candidates(
+                    graph, paths, split, num_classes, cfg, seed=seed,
+                    x_override=x_override, compile_only=True,
+                )
+            finally:
+                # groups the compile never reached (early failure) must not
+                # leave a real call blocked on an event nobody will set
+                for ev in events:
+                    ev.set()
 
-            evaluate_candidates(
-                graph, paths, split, num_classes, cfg, seed=seed,
-                x_override=x_override, compile_only=True,
-            )
-
-        self._submit(key, build)
+        self._enqueue(key, build)
 
     # ---------------------------------------------------------------- sync
     def wait(self, timeout: Optional[float] = None) -> None:

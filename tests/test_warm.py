@@ -39,6 +39,64 @@ def test_warm_bag_signature_best_effort_on_failure():
     warmer.wait(timeout=60)
 
 
+def test_warm_eval_registers_events_synchronously(planted):
+    """A real call racing a still-queued warm must find its in-flight event
+    (registered on the submitting thread), wait, then consume + evict the
+    executable."""
+    import threading
+
+    from mpgnn_tpu.train import batch_eval as be
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=5, hidden_dim=8)
+    paths = [[0], [1]]
+    keys = be.eval_aot_keys(graph, paths, split, 2, cfg, seed=0)
+    for k in keys:
+        be._aot_store.pop(k, None)
+        be._aot_inflight.pop(k, None)
+
+    warmer = ProgramWarmer(max_workers=1)
+    gate = threading.Event()
+    warmer._pool.submit(gate.wait)  # occupy the single worker
+    warmer.warm_eval(graph, paths, split, 2, cfg, 0, None)
+    # events exist BEFORE any pool thread has run the warm task
+    for k in keys:
+        assert k in be._aot_inflight and not be._aot_inflight[k].is_set()
+    gate.set()
+    warmer.wait(timeout=600)
+    for k in keys:
+        assert be._aot_inflight[k].is_set()
+        assert k in be._aot_store
+
+    out = be.evaluate_candidates(graph, paths, split, 2, cfg, seed=0)
+    assert set(out) == {"[0]", "[1]"}
+    # consumed executables are evicted (no unbounded growth)
+    for k in keys:
+        assert k not in be._aot_store and k not in be._aot_inflight
+
+
+def test_aot_key_covers_split_shapes_and_classes(planted):
+    """A later one-vs-rest class with the same path set but different split
+    shapes or class count compiles a DIFFERENT program — its key must differ
+    (the round-1 dedup keyed only on the path set and hit stale entries)."""
+    import dataclasses
+
+    from mpgnn_tpu.train import batch_eval as be
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=5, hidden_dim=8)
+    k0 = be.eval_aot_keys(graph, [[0]], split, 2, cfg, seed=0)
+    split2 = dataclasses.replace(
+        split, train_idx=split.train_idx[:-3], train_y=split.train_y[:-3]
+    )
+    k1 = be.eval_aot_keys(graph, [[0]], split2, 2, cfg, seed=0)
+    k2 = be.eval_aot_keys(graph, [[0]], split, 3, cfg, seed=0)
+    assert k0 != k1
+    assert k0 != k2
+
+
 def test_warmed_search_matches_unwarmed(planted):
     from mpgnn_tpu.search import find_metapaths
 
