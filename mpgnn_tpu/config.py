@@ -66,6 +66,13 @@ class MPGNNConfig:
     # are backend/topology-dependent — dropout needs no cross-backend
     # reproducibility, param init stays threefry either way.
     dropout_rng: str = "auto"
+    # Weight decompositions of CustomRGCNConv (mp_rgcn_layer.py:120-137):
+    # num_bases shares B basis matrices across hop convs' weights (each conv
+    # learns mixture coefficients); num_blocks makes every hop weight
+    # block-diagonal (must divide feat_dim and hidden_dim). num_bases wins
+    # when both are set (the reference ctor's if/elif). None = full weights.
+    num_bases: Optional[int] = None
+    num_blocks: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

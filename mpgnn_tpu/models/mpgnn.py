@@ -24,6 +24,10 @@ from mpgnn_tpu.models.relconv import (
     fast_rgcn_aggregate,
     glorot,
     init_relconv,
+    init_relconv_basis,
+    init_relconv_block,
+    relconv_effective_weight,
+    relconv_transform,
 )
 from mpgnn_tpu.ops.spmm import rel_mean_aggregate
 
@@ -55,16 +59,31 @@ def init_mpgnn(
     hidden_dim: int,
     num_classes: int,
     metapaths: Sequence[Sequence[int]],
+    num_bases: int | None = None,
+    num_blocks: int | None = None,
 ) -> MPGNNParams:
     """Parameter layout mirrors MPNetm.__init__ (model.py:186-201): one conv
-    stack per metapath; fc1 maps hidden*len(metapaths) -> hidden."""
+    stack per metapath; fc1 maps hidden*len(metapaths) -> hidden.
+
+    ``num_bases``/``num_blocks`` select CustomRGCNConv's basis / block-
+    diagonal weight decompositions (mp_rgcn_layer.py:120-137) for every hop
+    conv. Like the reference ctor's if/elif, ``num_bases`` takes precedence
+    when both are set. Blocks require num_blocks | input_dim and hidden_dim
+    (the reference asserts the same at mp_rgcn_layer.py:127-128)."""
+    def make_conv(k, in_d, out_d):
+        if num_bases is not None:
+            return init_relconv_basis(k, in_d, out_d, num_bases)
+        if num_blocks is not None:
+            return init_relconv_block(k, in_d, out_d, num_blocks)
+        return init_relconv(k, in_d, out_d)
+
     keys = jax.random.split(key, len(metapaths) + 2)
     convs = []
     for i, mp in enumerate(metapaths):
         hop_keys = jax.random.split(keys[i], max(len(mp), 1))
-        stack = [init_relconv(hop_keys[0], input_dim, hidden_dim)]
+        stack = [make_conv(hop_keys[0], input_dim, hidden_dim)]
         for j in range(1, len(mp)):
-            stack.append(init_relconv(hop_keys[j], hidden_dim, hidden_dim))
+            stack.append(make_conv(hop_keys[j], hidden_dim, hidden_dim))
         convs.append(tuple(stack))
     fc1 = init_linear(keys[-2], hidden_dim * len(metapaths), hidden_dim)
     fc2 = init_linear(keys[-1], hidden_dim, num_classes)
@@ -197,25 +216,21 @@ def mpgnn_forward(
                 else None
             )
             if cached is not None:
-                agg = cached.astype(dt)
-                h = jax.nn.relu(
-                    agg @ cast(conv.weight) + h @ cast(conv.root)
-                    + cast(conv.bias)
-                )
+                h = jax.nn.relu(relconv_transform(conv, cached.astype(dt), h))
             elif op[0] == "fused":
-                # fully fused conv kernel (aggregation + transform + relu)
+                # fully fused conv kernel (aggregation + transform + relu);
+                # decomposed convs feed it their materialized [in, out]
+                # weight (numerically identical)
                 from mpgnn_tpu.ops.pallas_conv import pallas_dense_conv
 
                 _, operand, interp = op
                 h = pallas_dense_conv(
-                    operand, interp, h, conv.weight, conv.root, conv.bias
+                    operand, interp, h, relconv_effective_weight(conv),
+                    conv.root, conv.bias,
                 )
             else:
                 agg = hop_aggregate(h, op, num_nodes)
-                h = jax.nn.relu(
-                    agg @ cast(conv.weight) + h @ cast(conv.root)
-                    + cast(conv.bias)
-                )
+                h = jax.nn.relu(relconv_transform(conv, agg, h))
             if train and dropout_rate > 0.0:
                 key = jax.random.fold_in(dropout_rng, drop_i)
                 keep = jax.random.bernoulli(key, 1.0 - dropout_rate, h.shape)
@@ -271,14 +286,77 @@ class RGCNConvParams(NamedTuple):
     bias: jax.Array    # [out]
 
 
+class RGCNBasisConvParams(NamedTuple):
+    """Basis-decomposed multi-relation conv (mp_rgcn_layer.py:120-123,
+    202-204): W_r = sum_b comp[r, b] * bases[b], bases shared across
+    relations."""
+
+    comp: jax.Array    # [R, B]
+    bases: jax.Array   # [B, in, out]
+    root: jax.Array    # [in, out]
+    bias: jax.Array    # [out]
+
+
+class RGCNBlockConvParams(NamedTuple):
+    """Block-diagonal multi-relation conv (mp_rgcn_layer.py:125-131,
+    209-220): each relation weight is block-diagonal."""
+
+    blocks: jax.Array  # [R, nb, in/nb, out/nb]
+    root: jax.Array    # [in, out]
+    bias: jax.Array    # [out]
+
+
 class RGCNNetParams(NamedTuple):
     conv1: RGCNConvParams
     conv2: RGCNConvParams
     linear: LinearParams
 
 
-def _init_rgcn_conv(key, in_dim, out_dim, num_rel) -> RGCNConvParams:
-    k1, k2 = jax.random.split(key)
+def rgcn_effective_weights(conv) -> jax.Array:
+    """Materialized per-relation [R, in, out] weights for any RGCN conv
+    variant (basis mixture / block-diagonal embedding / plain)."""
+    if isinstance(conv, RGCNConvParams):
+        return conv.weight
+    if isinstance(conv, RGCNBasisConvParams):
+        from mpgnn_tpu.models.relconv import basis_weights
+
+        return basis_weights(conv.comp, conv.bases)
+    if isinstance(conv, RGCNBlockConvParams):
+        r, nb, bin_, bout = conv.blocks.shape
+        w = jnp.zeros((r, nb * bin_, nb * bout), conv.blocks.dtype)
+        for b in range(nb):  # static tiny loop
+            w = w.at[:, b * bin_:(b + 1) * bin_,
+                     b * bout:(b + 1) * bout].set(conv.blocks[:, b])
+        return w
+    raise TypeError(f"unknown RGCN conv param type {type(conv)!r}")
+
+
+def _init_rgcn_conv(
+    key, in_dim, out_dim, num_rel, num_bases=None, num_blocks=None
+):
+    k1, k2, k3 = jax.random.split(key, 3)
+    if num_bases is not None:
+        return RGCNBasisConvParams(
+            comp=glorot(k3, (num_rel, num_bases)),
+            bases=glorot(k1, (num_bases, in_dim, out_dim)),
+            root=glorot(k2, (in_dim, out_dim)),
+            bias=jnp.zeros((out_dim,), jnp.float32),
+        )
+    if num_blocks is not None:
+        if in_dim % num_blocks or out_dim % num_blocks:
+            raise ValueError(
+                f"num_blocks={num_blocks} must divide in_dim={in_dim} and "
+                f"out_dim={out_dim}"
+            )
+        return RGCNBlockConvParams(
+            blocks=glorot(
+                k1,
+                (num_rel, num_blocks, in_dim // num_blocks,
+                 out_dim // num_blocks),
+            ),
+            root=glorot(k2, (in_dim, out_dim)),
+            bias=jnp.zeros((out_dim,), jnp.float32),
+        )
     return RGCNConvParams(
         weight=glorot(k1, (num_rel, in_dim, out_dim)),
         root=glorot(k2, (in_dim, out_dim)),
@@ -293,11 +371,20 @@ def init_rgcn_net(
     num_rel: int,
     output_dim: int,
     num_classes: int,
+    num_bases: int | None = None,
+    num_blocks: int | None = None,
 ) -> RGCNNetParams:
+    """``num_bases``/``num_blocks`` select the reference's weight
+    decompositions for both conv layers (num_bases wins when both are set,
+    mirroring the CustomRGCNConv ctor's if/elif)."""
+    if num_bases is not None:
+        num_blocks = None
     k1, k2, k3 = jax.random.split(key, 3)
     return RGCNNetParams(
-        conv1=_init_rgcn_conv(k1, input_dim, hidden_dim, num_rel),
-        conv2=_init_rgcn_conv(k2, hidden_dim, output_dim, num_rel),
+        conv1=_init_rgcn_conv(k1, input_dim, hidden_dim, num_rel,
+                              num_bases, num_blocks),
+        conv2=_init_rgcn_conv(k2, hidden_dim, output_dim, num_rel,
+                              num_bases, num_blocks),
         linear=init_linear(k3, output_dim, num_classes),
     )
 
@@ -316,7 +403,9 @@ def rgcn_net_forward(
     h = x
     for layer in range(metapath_length):
         p = params.conv1 if layer == 0 else params.conv2
-        agg = fast_rgcn_aggregate(h, p.weight, src, dst, edge_type, num_nodes)
+        agg = fast_rgcn_aggregate(
+            h, rgcn_effective_weights(p), src, dst, edge_type, num_nodes
+        )
         h = jax.nn.relu(agg + h @ p.root + p.bias)
     h = h @ params.linear.w + params.linear.b
     return jax.nn.log_softmax(h, axis=1)

@@ -81,9 +81,117 @@ def block_diag_apply(
     nb, bin_, bout = block_weight.shape
     h = aggregated.reshape(-1, nb, bin_)
     out = jnp.einsum(
-        "abc,bcd->abd", h, block_weight, preferred_element_type=jnp.float32
-    )
+        "abc,bcd->abd", h.astype(block_weight.dtype), block_weight,
+        preferred_element_type=jnp.float32,
+    ).astype(aggregated.dtype)
     return out.reshape(-1, nb * bout)
+
+
+# --------------------------------------------- decomposed single-relation conv
+class RelConvBasisParams(NamedTuple):
+    """Basis-decomposed RelConv (mp_rgcn_layer.py:120-123): the relation
+    weight is a learned mixture of shared bases. A search conv has
+    num_relations=1, so ``comp`` is the one relation's coefficient row."""
+
+    comp: jax.Array    # [B] mixture coefficients for this conv's relation
+    bases: jax.Array   # [B, in, out]
+    root: jax.Array    # [in, out]
+    bias: jax.Array    # [out]
+
+
+class RelConvBlockParams(NamedTuple):
+    """Block-diagonal RelConv (mp_rgcn_layer.py:125-131): the relation
+    weight is block-diagonal; in/out dims must divide num_blocks."""
+
+    blocks: jax.Array  # [num_blocks, in/nb, out/nb]
+    root: jax.Array    # [in, out]
+    bias: jax.Array    # [out]
+
+
+def init_relconv_basis(
+    key: jax.Array, in_dim: int, out_dim: int, num_bases: int,
+    num_relations: int = 1,
+) -> RelConvBasisParams:
+    """Init parity with CustomRGCNConv(num_bases=...) reset_parameters
+    (mp_rgcn_layer.py:151-155): glorot over the [B, in, out] basis stack,
+    glorot over the [R, B] comp matrix (fan R+B — R=1 for search convs),
+    glorot(root), zeros(bias)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    comp = glorot(k2, (num_relations, num_bases))[0]
+    return RelConvBasisParams(
+        comp=comp,
+        bases=glorot(k1, (num_bases, in_dim, out_dim)),
+        root=glorot(k3, (in_dim, out_dim)),
+        bias=jnp.zeros((out_dim,), jnp.float32),
+    )
+
+
+def init_relconv_block(
+    key: jax.Array, in_dim: int, out_dim: int, num_blocks: int
+) -> RelConvBlockParams:
+    """Init parity with CustomRGCNConv(num_blocks=...) (mp_rgcn_layer.py:
+    125-131): weight [R=1, nb, in/nb, out/nb] glorot (fan over the last two
+    dims), glorot(root), zeros(bias)."""
+    if in_dim % num_blocks or out_dim % num_blocks:
+        raise ValueError(
+            f"num_blocks={num_blocks} must divide both in_dim={in_dim} and "
+            f"out_dim={out_dim} (mp_rgcn_layer.py:127-128 asserts the same)"
+        )
+    k1, k2 = jax.random.split(key)
+    return RelConvBlockParams(
+        blocks=glorot(
+            k1, (num_blocks, in_dim // num_blocks, out_dim // num_blocks)
+        ),
+        root=glorot(k2, (in_dim, out_dim)),
+        bias=jnp.zeros((out_dim,), jnp.float32),
+    )
+
+
+def relconv_effective_weight(conv) -> jax.Array:
+    """The conv's materialized [in, out] relation weight (any param type).
+
+    For the plain conv this is ``weight`` itself; basis mixes the bases;
+    block embeds the blocks on the diagonal of a dense [in, out] matrix.
+    Used where a backend needs a single dense weight (e.g. the fused Pallas
+    conv kernel); numerically identical to the decomposed apply."""
+    if isinstance(conv, RelConvParams):
+        return conv.weight
+    if isinstance(conv, RelConvBasisParams):
+        return jnp.einsum(
+            "b,bio->io", conv.comp, conv.bases,
+            preferred_element_type=jnp.float32,
+        )
+    if isinstance(conv, RelConvBlockParams):
+        nb, bin_, bout = conv.blocks.shape
+        w = jnp.zeros((nb * bin_, nb * bout), conv.blocks.dtype)
+        for b in range(nb):  # static tiny loop (nb is a Python int)
+            w = w.at[b * bin_:(b + 1) * bin_, b * bout:(b + 1) * bout].set(
+                conv.blocks[b]
+            )
+        return w
+    raise TypeError(f"unknown conv param type {type(conv)!r}")
+
+
+def relconv_transform(conv, aggregated: jax.Array, h: jax.Array) -> jax.Array:
+    """Pre-activation conv output for any RelConv param variant:
+
+        aggregated @ W_r  +  h @ root  +  bias
+
+    where W_r is the plain weight, the basis mixture (materialized — one
+    [in, out] einsum, negligible next to the [N, in] GEMM), or the
+    block-diagonal transform (applied blockwise per mp_rgcn_layer.py:219,
+    which is cheaper than materializing the dense equivalent)."""
+    dt = h.dtype
+    if isinstance(conv, RelConvParams):
+        out = aggregated @ conv.weight.astype(dt)
+    elif isinstance(conv, RelConvBasisParams):
+        w = relconv_effective_weight(conv).astype(dt)
+        out = aggregated @ w
+    elif isinstance(conv, RelConvBlockParams):
+        out = block_diag_apply(aggregated, conv.blocks)
+    else:
+        raise TypeError(f"unknown conv param type {type(conv)!r}")
+    return out + h @ conv.root.astype(dt) + conv.bias.astype(dt)
 
 
 def fast_rgcn_aggregate(

@@ -61,6 +61,7 @@ def train_rgcn_baseline(
     params = init_rgcn_net(
         jax.random.PRNGKey(seed), graph.feat_dim, cfg.hidden_dim,
         graph.num_relations, cfg.hidden_dim, num_classes,
+        num_bases=cfg.num_bases, num_blocks=cfg.num_blocks,
     )
     tx = make_optimizer(cfg)
 
@@ -113,6 +114,10 @@ def main(argv=None):
     ap.add_argument("--metapath_length", type=int, default=3)
     ap.add_argument("--hidden_dim", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--num_bases", type=int, default=None,
+                    help="basis decomposition (mp_rgcn_layer.py:120-123)")
+    ap.add_argument("--num_blocks", type=int, default=None,
+                    help="block-diagonal decomposition (mp_rgcn_layer.py:125-131)")
     ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -142,7 +147,8 @@ def main(argv=None):
     num_classes = int(len(np.unique(labels)))
     res = train_rgcn_baseline(
         graph, labels, split, num_classes, args.metapath_length,
-        MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim),
+        MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim,
+                    num_bases=args.num_bases, num_blocks=args.num_blocks),
         x_override=x,
     )
     print(

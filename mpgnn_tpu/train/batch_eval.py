@@ -162,6 +162,7 @@ def evaluate_candidates(
     a duplicate remote compile. The search engine warms each length group
     in a background thread the moment that group's candidate set is final
     (its hop completed)."""
+    backend_explicit = backend is not None
     backend = backend or (cfg.backend if cfg else "segment")
     if backend != "dense" and backend != "segment":
         # measured (v5e, 30 candidates x 1000 epochs, shipped-scale graph):
@@ -169,14 +170,23 @@ def evaluate_candidates(
         # aggregation cached, the batched scatters beat the grouped GEMMs'
         # extra gather/concat traffic, so 'auto' resolves to segment HERE
         # (for single-model training dense wins; see loops.resolve_backend).
-        # Single-model-only backends (ell/ell2/pallas/onehot) also fall
-        # back to the vmapped segment batch.
-        if backend not in ("auto",):
+        # Single-model-only backends (ell/ell2/pallas/onehot) have no
+        # batched variant: an EXPLICIT request for one is an error (it
+        # would silently benchmark a different backend than asked); the
+        # same value merely flowing in via cfg.backend (which governs the
+        # single-model paths) falls back to segment with a loud warning.
+        if backend != "auto":
             import logging
 
-            logging.getLogger("mpgnn_tpu.batch_eval").info(
-                "batched eval has no %r variant; using the vmapped "
-                "segment batch", backend,
+            if backend_explicit:
+                raise ValueError(
+                    f"batched candidate evaluation supports backends "
+                    f"'segment'/'dense'/'auto', not {backend!r} (it is a "
+                    f"single-model backend; see train_mpgnn)"
+                )
+            logging.getLogger("mpgnn_tpu.batch_eval").warning(
+                "cfg.backend=%r has no batched-eval variant; using the "
+                "vmapped segment batch for candidate evaluation", backend,
             )
         backend = "segment"
     if backend == "dense":

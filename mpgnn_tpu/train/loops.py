@@ -39,25 +39,54 @@ def _round_up(n: int, m: int = 128) -> int:
     return max(m, -(-n // m) * m)
 
 
-# 'auto' chooses dense only while every involved relation's (A, A^T) f32
-# pair fits comfortably in HBM next to activations/params (v5e has 16 GiB).
+# Fallback 'auto' dense budget when the device does not report memory stats
+# (e.g. the CPU backend): conservative for a 16 GiB v5e.
 AUTO_DENSE_BUDGET_BYTES = 4 << 30
+# Fraction of the device's FREE HBM 'auto' lets the dense (A, A^T) pairs
+# occupy — the rest stays for activations, params, optimizer state and the
+# vmapped eval batches.
+AUTO_DENSE_FREE_FRACTION = 0.4
+
+
+def auto_dense_budget_bytes(device=None) -> int:
+    """Dense-backend byte budget derived from the device's ACTUAL free HBM.
+
+    Uses ``device.memory_stats()`` (PJRT: bytes_limit / bytes_in_use) when
+    the backend reports it; otherwise the conservative static fallback. The
+    round-1 hard-coded 4 GiB both starved big-HBM chips and oversubscribed
+    busy ones."""
+    try:
+        dev = device or jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats:
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit"
+            )
+            used = stats.get("bytes_in_use", 0)
+            if limit:
+                return int((int(limit) - int(used)) * AUTO_DENSE_FREE_FRACTION)
+    except Exception:
+        pass
+    return AUTO_DENSE_BUDGET_BYTES
 
 
 def resolve_backend(
     backend: str,
     graph: HeteroGraph,
     metapaths: Sequence[Sequence[int]],
-    budget_bytes: int = AUTO_DENSE_BUDGET_BYTES,
+    budget_bytes: Optional[int] = None,
 ) -> str:
     """Resolve the 'auto' aggregation backend for a concrete workload.
 
     dense turns each hop into one MXU GEMM and measured fastest at
     reference scale (docs/DESIGN.md §2), but costs 2·Ru·N²·4 bytes of
-    precomputed (A, A^T); past the budget the O(E) segment path wins by
+    precomputed (A, A^T); past the budget (derived from the device's free
+    HBM, ``auto_dense_budget_bytes``) the O(E) segment path wins by
     default. Explicit backends pass through unchanged."""
     if backend != "auto":
         return backend
+    if budget_bytes is None:
+        budget_bytes = auto_dense_budget_bytes()
     uniq = {int(r) for mp in metapaths for r in mp}
     dense_bytes = 2 * len(uniq) * graph.num_nodes * graph.num_nodes * 4
     return "dense" if dense_bytes <= budget_bytes else "segment"
@@ -361,7 +390,8 @@ def train_mpgnn(
     key = jax.random.PRNGKey(seed)
     init_key, drop_key = jax.random.split(key)
     params0 = init_mpgnn(
-        init_key, graph.feat_dim, cfg.hidden_dim, num_classes, metapaths
+        init_key, graph.feat_dim, cfg.hidden_dim, num_classes, metapaths,
+        num_bases=cfg.num_bases, num_blocks=cfg.num_blocks,
     )
     drop_key = make_dropout_key(drop_key, seed, cfg.dropout_rng)
 
