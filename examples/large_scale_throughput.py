@@ -108,13 +108,12 @@ def main():
             return losses[-1]
 
         t0 = time.time()
-        l = run(params0, data)
-        jax.block_until_ready(l)
+        l = float(run(params0, data))   # scalar readback: block_until_ready
+        # does NOT block through this image's TPU tunnel (micro_agg.py)
         print(f"[{backend}] compile+first: {time.time()-t0:.1f}s",
               file=sys.stderr, flush=True)
         t0 = time.time()
-        l = run(params0, data)
-        jax.block_until_ready(l)
+        l = float(run(params0, data))
         dt = time.time() - t0
         eps = cfg.epochs * edges_per_epoch / dt
         results[backend] = round(eps, 1)

@@ -139,6 +139,11 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
 
         _, fwd, bwd, interpret = op
         return pallas_spmm_mean(fwd, bwd, interpret, h)
+    if kind == "csr":
+        from mpgnn_tpu.ops.pallas_csr import csr_mean_aggregate
+
+        _, fwd, bwd = op
+        return csr_mean_aggregate(h, fwd, bwd)
     if kind == "onehot":
         from mpgnn_tpu.ops.pallas_spmm import onehot_spmm_mean
 

@@ -1,0 +1,272 @@
+"""Pallas sorted-CSR segment-mean — the MXU scatter replacement.
+
+Measured on v5e (benchmarks/micro_agg.py, N=500k / E=10M / F=16):
+
+    XLA row gather   x[dst]            65 ms    (9.8 GB/s of edge rows)
+    XLA segment_sum  (sorted)         705 ms    (0.9 GB/s)   <- bottleneck
+    HBM stream reference                        (358 GB/s)
+
+XLA's scatter-add serializes on TPU; it is ~400x below the streaming
+roofline and 10x worse than the (also slow) row gather. This kernel removes
+the scatter entirely:
+
+* edges arrive sorted by aggregation row (the CSR order the graph loader
+  already produces; reference surface: torch_sparse SpMM,
+  /root/reference/mp_rgcn_layer.py:277-279);
+* rows are partitioned into blocks of ``BM``; each block's edge list is
+  padded to a multiple of the edge-tile size ``ET`` so no tile straddles a
+  block boundary (host build, static per relation);
+* the grid walks edge tiles; a scalar-prefetched ``tile_block`` array
+  (pltpu.PrefetchScalarGridSpec) routes each tile's output block, so the
+  [BM, F] accumulator lives in VMEM across a block's consecutive tiles;
+* each tile builds its one-hot incidence ``(iota == local_row) * weight``
+  [BM, ET] ON THE FLY in VMEM (never materialized in HBM — the round-1
+  ``ops/pallas_spmm`` XLA formulation stored it per block and paid GBs of
+  HBM for it) and reduces with ONE MXU matmul ``onehot @ y_tile``;
+* the mean's 1/deg is folded into the edge weights; zero-degree rows give
+  zero (reference parity, mp_rgcn_layer.py:198).
+
+The remaining row gather ``x[gidx]`` stays in XLA (a VMEM dynamic-row
+gather is not lowerable by Mosaic; a DMA-per-row formulation is
+descriptor-bound). The backward pass is the same kernel on a
+destination-sorted blocking — a custom VJP with no scatter in either
+direction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+import dataclasses
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CsrBlocking:
+    """Host-built static blocking of one relation's edges for one direction.
+
+    ``rows`` (the aggregation targets) are sorted; each row block of ``BM``
+    owns a contiguous, ET-padded span of the edge arrays. Empty blocks get
+    one all-padding tile so every output block is visited (and zeroed).
+    A pytree whose array leaves are jit ARGUMENTS while the layout ints
+    (num_rows/block_rows/edge_tile) stay static."""
+
+    gidx: jax.Array        # [EP] gather index (other endpoint; 0 for pads)
+    local: jax.Array       # [T, SUB, LANE] target row in-block (0 for pads)
+    weight: jax.Array      # [EP] f32 edge weight (0 for pads) — folded into
+                           #      the gathered rows OUTSIDE the kernel (XLA
+                           #      fuses it into the gather stream), keeping
+                           #      the in-kernel one-hot an EXACT 0/1 bf16
+    tile_block: jax.Array  # [T] output block id per edge tile
+    num_rows: int          # unpadded target-row count
+    block_rows: int        # BM
+    edge_tile: int         # ET
+
+    def tree_flatten(self):
+        children = (self.gidx, self.local, self.weight, self.tile_block)
+        return children, (self.num_rows, self.block_rows, self.edge_tile)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+# Mosaic block shapes must have their last two dims (8, 128)-aligned: edge
+# tiles are therefore [SUB, LANE] 2D panels of ET = 1024 edges.
+_SUB, _LANE = 16, 128
+_ET = _SUB * _LANE
+
+
+def _build_one_direction(
+    rows: np.ndarray, cols: np.ndarray, weights: np.ndarray,
+    num_rows: int, bm: int, et: int = _ET,
+) -> CsrBlocking:
+    assert et == _ET, "edge tile is fixed by the TPU tile shape"
+    order = np.argsort(rows, kind="stable")
+    rows, cols, weights = rows[order], cols[order], weights[order]
+    nb = max(1, -(-num_rows // bm))
+    counts = np.bincount(rows // bm, minlength=nb)
+    padded = np.maximum(-(-counts // et), 1) * et   # >=1 tile per block
+    offsets = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(padded, out=offsets[1:])
+    ep = int(offsets[-1])
+    gidx = np.zeros(ep, dtype=np.int32)
+    local = np.zeros(ep, dtype=np.int32)
+    wt = np.zeros(ep, dtype=np.float32)
+    src_off = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(counts, out=src_off[1:])
+    # vectorized fill: position of edge i = offsets[b(i)] + rank within block
+    b_of = rows // bm
+    pos = offsets[b_of] + (np.arange(len(rows)) - src_off[b_of])
+    gidx[pos] = cols
+    local[pos] = rows - b_of * bm
+    wt[pos] = weights
+    t = ep // et
+    tile_block = np.repeat(np.arange(nb, dtype=np.int32), padded // et)
+    return CsrBlocking(
+        gidx=jnp.asarray(gidx),
+        local=jnp.asarray(local.reshape(t, _SUB, _LANE)),
+        weight=jnp.asarray(wt),
+        tile_block=jnp.asarray(tile_block),
+        num_rows=num_rows,
+        block_rows=bm,
+        edge_tile=et,
+    )
+
+
+def _auto_bm(num_rows: int, num_edges: int) -> int:
+    """Row-block size targeting ~2 edge tiles per block: the in-kernel
+    one-hot build costs VPU work proportional to BM per tile, while small
+    BM inflates per-block padding — aim between."""
+    if num_edges <= 0:
+        return 256
+    target = 2 * _ET * num_rows / num_edges
+    bm = 1 << max(7, int(np.ceil(np.log2(max(target, 1)))))
+    return int(min(bm, 2048))
+
+
+def build_csr_blocking(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int,
+    bm: int | None = None, et: int = _ET,
+) -> Tuple[CsrBlocking, CsrBlocking]:
+    """(forward, backward) blockings for one relation's mean aggregation.
+
+    Forward rows are edge sources (mean over out-edges, weights 1/deg(src));
+    backward rows are destinations with the same per-edge weight —
+    ``dx[d] = sum over edges (s->d) of g[s]/deg(s)``."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    bm = bm or _auto_bm(num_nodes, len(src))
+    deg = np.bincount(src, minlength=num_nodes).astype(np.float32)
+    ew = (1.0 / np.maximum(deg, 1.0))[src]
+    fwd = _build_one_direction(src, dst, ew, num_nodes, bm, et)
+    bwd = _build_one_direction(dst, src, ew, num_nodes, bm, et)
+    return fwd, bwd
+
+
+def _scatter_kernel(bm: int, et: int, split_f32: bool):
+    def kernel(tb_ref, local_ref, y_ref, out_ref):
+        t = pl.program_id(0)
+        prev = tb_ref[jnp.maximum(t - 1, 0)]
+        fresh = jnp.logical_or(t == 0, prev != tb_ref[t])
+
+        @pl.when(fresh)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        # one EXACT 0/1 bf16 one-hot [bm, ET] built on the fly in VMEM
+        # (edge weights were folded into y by the caller); the tile reduces
+        # with bf16 MXU matmuls — f32 operands are split hi/lo into two
+        # bf16 passes (~1e-6 relative), which measured ~6x faster than
+        # Precision.HIGHEST's six passes of narrow [*, F] matmuls
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bm, et), 0)
+        locals_row = jnp.concatenate(
+            [local_ref[0, s, :][None, :] for s in range(_SUB)], axis=1
+        )                                             # [1, ET]
+        onehot = (rows == locals_row).astype(jnp.bfloat16)
+        y = y_ref[:]
+        if split_f32:
+            hi = y.astype(jnp.bfloat16)
+            lo = (y - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+            acc += jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(onehot, y, preferred_element_type=jnp.float32)
+        out_ref[:] += acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_call(t: int, nb: int, f: int, bm: int, et: int, dtype_name: str,
+                  interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, tb: (i, 0, 0)),
+            pl.BlockSpec((et, f), lambda i, tb: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, f), lambda i, tb: (tb[i], 0)),
+    )
+    kwargs = {}
+    if not interpret:
+        # consecutive tiles of one block accumulate into the SAME VMEM
+        # output buffer — the grid dimension must stay sequential
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+    return pl.pallas_call(
+        _scatter_kernel(bm, et, dtype == jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bm, f), dtype),
+        interpret=interpret,
+        **kwargs,
+    )
+
+
+def _segment_apply(blk: CsrBlocking, y: jax.Array) -> jax.Array:
+    """Scatter-free segment reduction of pre-gathered edge rows ``y``
+    [EP, F] into [num_rows, F] (weights already folded)."""
+    t = blk.local.shape[0]
+    f = y.shape[-1]
+    nb = max(1, (blk.num_rows + blk.block_rows - 1) // blk.block_rows)
+    interpret = jax.devices()[0].platform != "tpu"
+    call = _scatter_call(
+        t, nb, f, blk.block_rows, blk.edge_tile, str(y.dtype), interpret
+    )
+    out = call(blk.tile_block, blk.local, y)
+    return out[: blk.num_rows]
+
+
+def _gather_weighted(blk: CsrBlocking, x: jax.Array) -> jax.Array:
+    """y[e] = w[e] * x[gidx[e]] — XLA fuses the scale into the gather's
+    output stream; padded edges have w = 0, so their gathered garbage
+    vanishes here."""
+    return x[blk.gidx] * blk.weight.astype(x.dtype)[:, None]
+
+
+@jax.custom_vjp
+def csr_mean_aggregate(x: jax.Array, fwd: CsrBlocking, bwd: CsrBlocking):
+    """out[s] = mean over edges (s, d) of x[d]; rows without edges -> 0.
+
+    XLA row gather + Pallas block-one-hot MXU reduction in BOTH directions
+    (the VJP runs the identical kernel on the destination-sorted blocking) —
+    no scatter anywhere. The blockings enter as jit ARGUMENTS, not closure
+    constants (a 10M-edge blocking is ~120 MB; embedded constants overflowed
+    the remote-compile payload once already, docs/DESIGN.md §3)."""
+    return _segment_apply(fwd, _gather_weighted(fwd, x))
+
+
+def _csr_fwd(x, fwd, bwd):
+    return _segment_apply(fwd, _gather_weighted(fwd, x)), bwd
+
+
+def _csr_bwd(bwd, g):
+    return _segment_apply(bwd, _gather_weighted(bwd, g)), None, None
+
+
+csr_mean_aggregate.defvjp(_csr_fwd, _csr_bwd)
+
+
+def make_csr_aggregate(fwd: CsrBlocking, bwd: CsrBlocking):
+    """Closure-style convenience wrapper: ``agg(x) -> [N, F]``."""
+    return lambda x: csr_mean_aggregate(x, fwd, bwd)
+
+
+def ref_mean(x, src, dst, num_nodes):
+    """XLA segment reference for tests."""
+    tot = jax.ops.segment_sum(x[dst], src, num_segments=num_nodes)
+    cnt = jax.ops.segment_sum(
+        jnp.ones_like(src, jnp.float32), src, num_segments=num_nodes
+    )
+    return tot / jnp.maximum(cnt, 1.0)[:, None]

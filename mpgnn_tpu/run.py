@@ -40,12 +40,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", type=str, default="auto",
                    choices=["auto", "segment", "ell", "ell2", "dense",
-                            "pallas", "onehot"],
+                            "pallas", "onehot", "csr"],
                    help="MPGNN aggregation backend; 'auto' picks dense "
                         "(MXU GEMM) when the relations' adjacencies fit "
                         "HBM, segment otherwise")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="run the search sweeps + final eval across a device "
+                        "mesh, e.g. '--mesh 8', '--mesh rel=8' or "
+                        "'--mesh data=4,model=2' (relation/candidate batch "
+                        "axes are sharded over ALL mesh devices — the "
+                        "TPU-native form of the reference's "
+                        "'mpiexec -n 10' fan-out, run.sh:32)")
     p.add_argument("--save_model", type=str, default=None,
                    help="directory to save the final joint model's "
                         "parameters (orbax) per class")
@@ -92,6 +99,13 @@ def main(argv=None):
     # persistent compile cache: remote compiles cost 20-577s over the TPU
     # tunnel (docs/DESIGN.md §3) — every program should compile once per VM
     enable_compilation_cache()
+
+    if args.mesh:
+        from mpgnn_tpu.parallel.context import mesh_from_spec, set_sweep_mesh
+
+        mesh = mesh_from_spec(args.mesh)
+        set_sweep_mesh(mesh)   # process-wide: warm threads see it too
+        logging.info("sweep mesh active: %s", dict(mesh.shape))
 
     from mpgnn_tpu.config import MPGNNConfig, SearchConfig
     from mpgnn_tpu.graph.io import (

@@ -35,6 +35,11 @@ import numpy as np
 
 from mpgnn_tpu.config import ScorerConfig
 from mpgnn_tpu.graph.hetero import HeteroGraph
+from mpgnn_tpu.parallel.context import (
+    replicate_sweep,
+    shard_sweep,
+    sweep_devices,
+)
 
 _MEM_BUDGET_ENTRIES = 48_000_000  # per-chunk cap on R*N*D ELL entries
 
@@ -84,7 +89,12 @@ def _chunks(relations: Sequence[int], graph: HeteroGraph) -> List[List[int]]:
         max_r = max(1, 1 << (max_r.bit_length() - 1))  # pow2 floor
         for i in range(0, len(rels), max_r):
             chunk = rels[i : i + max_r]
-            pad_to = min(_pow2_bucket(len(chunk), lo=1), max_r)
+            # pow2 AND >= the sweep-mesh device count, so an active mesh
+            # shards the relation axis evenly (pow2 mesh sizes divide any
+            # larger pow2); capped by the memory budget
+            pad_to = min(
+                max(_pow2_bucket(len(chunk), lo=1), sweep_devices()), max_r
+            )
             while len(chunk) < pad_to:
                 chunk = chunk + [chunk[-1]]
             out.append(chunk)
@@ -212,9 +222,14 @@ def score_relations_flat(
                 w0[i, dsts] = np.abs(
                     mins + rng.uniform(-cfg.init_noise, cfg.init_noise, len(dsts))
                 )
-        w, loss = _flat_sweep(
+        # an active sweep mesh shards the relation axis across devices —
+        # the reference's np.array_split over MPI ranks (main.py:1319)
+        batched = shard_sweep(
             jnp.asarray(w0), jnp.asarray(nbr), jnp.asarray(mask),
-            jnp.asarray(loss_mask), jnp.asarray(node_labels),
+            jnp.asarray(loss_mask),
+        )
+        w, loss = _flat_sweep(
+            *batched, replicate_sweep(jnp.asarray(node_labels)),
             epochs=cfg.epochs_flat, lr=cfg.lr,
         )
         w = np.asarray(w)
@@ -246,7 +261,9 @@ def _instance_chunks(
         max_r = max(1, 1 << (max_r.bit_length() - 1))
         for i in range(0, len(insts), max_r):
             chunk = insts[i : i + max_r]
-            pad_to = min(_pow2_bucket(len(chunk), lo=1), max_r)
+            pad_to = min(
+                max(_pow2_bucket(len(chunk), lo=1), sweep_devices()), max_r
+            )
             while len(chunk) < pad_to:
                 chunk = chunk + [chunk[-1]]
             chunks.append((d, chunk))
@@ -557,21 +574,30 @@ def score_bag_tasks(
         last_u = u0.copy()
         n_restarts = np.zeros(R, dtype=np.int64)
 
+        # an active sweep mesh shards the instance axis across devices —
+        # the reference's per-metapath MPI fan-out (main.py:1400-1408)
+        d_nbr, d_mask, d_bags, d_mmask, d_labels, d_keep = shard_sweep(
+            jnp.asarray(nbr), jnp.asarray(mask), jnp.asarray(bags_i),
+            jnp.asarray(member_mask), jnp.asarray(labels_i),
+            jnp.asarray(bag_keep),
+        )
         dev = dict(
-            nbr=jnp.asarray(nbr), nbr_mask=jnp.asarray(mask),
-            bags=jnp.asarray(bags_i), member_mask=jnp.asarray(member_mask),
-            bag_labels=jnp.asarray(labels_i), bag_keep=jnp.asarray(bag_keep),
-            x=jnp.asarray(x),
+            nbr=d_nbr, nbr_mask=d_mask, bags=d_bags, member_mask=d_mmask,
+            bag_labels=d_labels, bag_keep=d_keep,
+            x=replicate_sweep(jnp.asarray(x)),
         )
 
         for _round in range(cfg.max_restarts):
             if not active.any():
                 break
+            rw0, ru0, rgm, rfm = shard_sweep(
+                jnp.asarray(w0), jnp.asarray(u0), jnp.asarray(grad_mask),
+                jnp.asarray(frozen_mask),
+            )
             w, u, loss, per_bag, winner, member_value = _bag_round(
-                jnp.asarray(w0), jnp.asarray(u0), dev["nbr"], dev["nbr_mask"],
+                rw0, ru0, dev["nbr"], dev["nbr_mask"],
                 dev["bags"], dev["member_mask"], dev["bag_labels"],
-                dev["bag_keep"], jnp.asarray(grad_mask),
-                jnp.asarray(frozen_mask), dev["x"],
+                dev["bag_keep"], rgm, rfm, dev["x"],
                 epochs=cfg.epochs_bags, lr=cfg.lr,
             )
             w = np.asarray(w); u = np.asarray(u)

@@ -20,6 +20,15 @@ import optax
 from mpgnn_tpu.config import MPGNNConfig
 from mpgnn_tpu.graph.hetero import HeteroGraph, NodeSplit
 from mpgnn_tpu.models.mpgnn import init_mpgnn
+from mpgnn_tpu.parallel.context import (
+    abstract_replicated,
+    abstract_with_batch_sharding,
+    pad_batch_list,
+    replicate_sweep,
+    shard_sweep,
+    shard_sweep_tree,
+    sweep_devices,
+)
 from mpgnn_tpu.train.loops import make_dropout_key, make_optimizer
 from mpgnn_tpu.train.metrics import macro_f1
 
@@ -40,7 +49,8 @@ def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str):
     sig = (L, graph.num_nodes, cfg.epochs, cfg.lr, cfg.weight_decay,
            cfg.dropout, num_classes)
     return (sig, C, _e_pad(graph, group), graph.feat_dim, cfg.hidden_dim,
-            base_key_dtype, len(split.train_idx), len(split.val_idx))
+            base_key_dtype, len(split.train_idx), len(split.val_idx),
+            sweep_devices())
 
 
 def eval_aot_keys(graph, paths, split, num_classes, cfg, seed):
@@ -57,7 +67,8 @@ def eval_aot_keys(graph, paths, split, num_classes, cfg, seed):
     for p in paths:
         by_len.setdefault(len(p), []).append(list(p))
     return [
-        _aot_key(graph, group, split, num_classes, cfg, str(base_key.dtype))
+        _aot_key(graph, pad_batch_list(group), split, num_classes, cfg,
+                 str(base_key.dtype))
         for _, group in sorted(by_len.items())
     ]
 
@@ -208,7 +219,13 @@ def evaluate_candidates(
 
     out: Dict[str, float] = {}
     for L, group in sorted(by_len.items()):
+        # an active sweep mesh shards the candidate axis across devices —
+        # the reference's final-eval fan-out (main.py:1444-1450); the group
+        # is padded to the device-count multiple by repeating the last path
+        # (duplicates collapse into the same result key)
+        group = pad_batch_list(group)
         src, dst, mask = _stack_hop_edges(graph, group)
+        src, dst, mask = shard_sweep(src, dst, mask)
         C = len(group)
         keys = jax.random.split(jax.random.PRNGKey(seed), C)
 
@@ -234,20 +251,27 @@ def evaluate_candidates(
             # here (.lower().compile() bypasses the former; the latter is
             # a silent no-op on some backends, e.g. this image's TPU
             # tunnel plugin, measured in docs/DESIGN.md §3)
-            params0_abs = jax.eval_shape(jax.vmap(init_one), keys)
-            drop_abs = jax.eval_shape(
-                lambda k: jax.vmap(jax.random.fold_in, (None, 0))(
-                    k, jnp.arange(C)
-                ),
-                base_key,
+            params0_abs = abstract_with_batch_sharding(
+                jax.eval_shape(jax.vmap(init_one), keys)
             )
-            abs_ = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)  # noqa: E731
+            drop_abs = abstract_with_batch_sharding(
+                jax.eval_shape(
+                    lambda k: jax.vmap(jax.random.fold_in, (None, 0))(
+                        k, jnp.arange(C)
+                    ),
+                    base_key,
+                )
+            )
+            # batch args carry the mesh's dim-0 sharding; graph-shaped args
+            # are replicated — matching exactly how the real call places them
+            batch_abs = abstract_with_batch_sharding((src, dst, mask))
+            repl_abs = abstract_replicated(
+                (x, train_idx, train_y, val_idx, val_y)
+            )
             ev = _aot_inflight.setdefault(aot_key, threading.Event())
             try:
                 _aot_store[aot_key] = run.lower(
-                    params0_abs, abs_(src), abs_(dst), abs_(mask), drop_abs,
-                    abs_(x), abs_(train_idx), abs_(train_y), abs_(val_idx),
-                    abs_(val_y),
+                    params0_abs, *batch_abs, drop_abs, *repl_abs,
                 ).compile()
                 # bound the retained-executable footprint: warmed programs a
                 # real call never consumed (e.g. abandoned search branches)
@@ -259,12 +283,15 @@ def evaluate_candidates(
             finally:
                 ev.set()
             continue
-        params0 = jax.vmap(init_one)(keys)
-        drop_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        params0 = shard_sweep_tree(jax.vmap(init_one)(keys))
+        drop_keys = shard_sweep(jax.vmap(jax.random.fold_in, (None, 0))(
             base_key, jnp.arange(C)
+        ))
+        x_r, tr_i, tr_y, va_i, va_y = replicate_sweep(
+            x, train_idx, train_y, val_idx, val_y
         )
         args = (params0, src, dst, mask, drop_keys,
-                x, train_idx, train_y, val_idx, val_y)
+                x_r, tr_i, tr_y, va_i, va_y)
         # a background warm may still be compiling this signature: waiting
         # beats launching a duplicate 20-577s remote compile
         ev = _aot_inflight.get(aot_key)

@@ -89,7 +89,14 @@ def resolve_backend(
         budget_bytes = auto_dense_budget_bytes()
     uniq = {int(r) for mp in metapaths for r in mp}
     dense_bytes = 2 * len(uniq) * graph.num_nodes * graph.num_nodes * 4
-    return "dense" if dense_bytes <= budget_bytes else "segment"
+    if dense_bytes <= budget_bytes:
+        return "dense"
+    # past dense: XLA's scatter-add degrades catastrophically with edge
+    # count (0.8 GB/s at 10M edges, benchmarks/micro_agg.py) — the Pallas
+    # sorted-CSR kernel wins 7x there; below ~1M edges per relation the
+    # segment path is fine and skips the host-side blocking build
+    max_e = max((int(graph.rel_counts[r]) for r in uniq), default=0)
+    return "csr" if max_e >= 1_000_000 else "segment"
 
 
 def build_hop_arrays(
@@ -179,6 +186,21 @@ def build_hop_arrays(
                     dense_cache[key] = build_spmm_blocking(s, d, graph.num_nodes)
                 fwd, bwd = dense_cache[key]
                 ops.append(("onehot", fwd, bwd))
+            elif backend == "csr":
+                # Pallas sorted-CSR block-one-hot kernel: XLA row gather +
+                # MXU segment reduction, no scatter in either direction
+                # (ops/pallas_csr.py; measured 7x the segment path at
+                # N=500k/E=10M/F=16 on v5e)
+                from mpgnn_tpu.ops.pallas_csr import build_csr_blocking
+
+                key = ("csr", rel)
+                if key not in dense_cache:
+                    s, d = graph.rel_edges(rel)
+                    dense_cache[key] = build_csr_blocking(
+                        s, d, graph.num_nodes
+                    )
+                fwd, bwd = dense_cache[key]
+                ops.append(("csr", fwd, bwd))
             else:
                 raise ValueError(f"unknown backend {backend!r}")
         hop_ops.append(ops)

@@ -233,7 +233,7 @@ def test_all_backends_agree_on_random_graphs(seed):
     params = init_mpgnn(jax.random.PRNGKey(seed), F, 8, 2, [mp])
 
     outs = {}
-    for backend in ("segment", "ell", "ell2", "dense", "onehot", "pallas"):
+    for backend in ("segment", "ell", "ell2", "dense", "onehot", "pallas", "csr"):
         ops = bha(g, [mp], pad_multiple=8, backend=backend)
         outs[backend] = np.asarray(
             mpgnn_forward(params, jnp.asarray(g.x), ops, train=False)
