@@ -1,13 +1,21 @@
-"""Multi-device scaling benchmark — edge-partitioned aggregation.
+"""Multi-device scaling benchmark — aggregation and full train steps.
 
-Measures edges/s of the edge-partitioned mean aggregation (shard_map +
-psum over the 'data' mesh axis) at 1..N devices. On a real multi-chip slice
-this reports ICI scaling efficiency against the BASELINE.md north star
-(>= 80% linear). On this single-chip image it runs on N virtual CPU devices
-(XLA_FLAGS=--xla_force_host_platform_device_count) to validate the scaling
-HARNESS and collectives; absolute CPU numbers are not the target metric.
+Sweeps 1..N devices over:
+  (a) edge-partitioned mean aggregation (shard_map + psum, 'data' axis);
+  (b) node-sharded halo aggregation (features sharded, one all_to_all);
+  (c) the full edge-partitioned + tensor-parallel MPGNN train step
+      (parallel.shard.build_sharded_train_step);
+  (d) the full node-sharded MPGNN train step (parallel.halo) — the REAL
+      model (mpgnn_forward over 'halo' hop ops).
+
+On a real multi-chip slice this reports ICI scaling efficiency against the
+BASELINE.md north star (>= 80% linear). On this single-chip image it runs
+on N virtual CPU devices (XLA_FLAGS=--xla_force_host_platform_device_count)
+to validate the scaling HARNESS and collectives; absolute CPU numbers are
+not the target metric.
 
     python bench_scaling.py [--devices 8] [--edges 2000000] [--platform cpu]
+                            [--train] [--out SCALING.json]
 """
 
 import argparse
@@ -25,6 +33,12 @@ def main():
     ap.add_argument("--feat", type=int, default=64)
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--train", action="store_true",
+                    help="also sweep the full sharded train steps (c)/(d)")
+    ap.add_argument("--train_iters", type=int, default=5)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--out", type=str, default=None,
+                    help="write the results JSON to this path too")
     args = ap.parse_args()
 
     from mpgnn_tpu.utils.prof import enable_compilation_cache
@@ -136,12 +150,87 @@ def main():
                 file=sys.stderr, flush=True,
             )
 
-    print(json.dumps({
+    train_results = {}
+    halo_train_results = {}
+    if args.train:
+        from mpgnn_tpu.config import MPGNNConfig
+        from mpgnn_tpu.graph.hetero import HeteroGraph
+        from mpgnn_tpu.graph.io import split_nodes
+        from mpgnn_tpu.parallel import build_sharded_train_step
+        from mpgnn_tpu.parallel.halo import build_node_sharded_train_step
+
+        rel = rng.integers(0, 2, E).astype(np.int32)
+        labels = rng.integers(0, 3, N)
+        g = HeteroGraph(x, src, dst, rel, num_relations=2)
+        split = split_nodes(labels)
+        cfg = MPGNNConfig(hidden_dim=args.hidden, dropout=0.6)
+        mps = [[0, 1], [1, 0]]
+        n_hop_edges = sum(int(g.rel_counts[r]) for mp in mps for r in mp)
+
+        def sweep_step(tag, make, store):
+            base_t = None
+            for n in counts:
+                if tag == "halo-train" and n == 1:
+                    continue
+                step, params, opt_state, extra = make(n)
+                k = jax.random.PRNGKey(0)
+                # rebind: step may donate params/opt_state buffers
+                params, opt_state, loss = step(params, opt_state, *extra, k)
+                jax.block_until_ready(loss)
+                t0 = time.time()
+                for i in range(args.train_iters):
+                    params, opt_state, loss = step(
+                        params, opt_state, *extra, jax.random.fold_in(k, i)
+                    )
+                jax.block_until_ready(loss)
+                dt = (time.time() - t0) / args.train_iters
+                eps = n_hop_edges / dt
+                base_t = base_t or eps / n
+                store[n] = {
+                    "step_ms": round(dt * 1e3, 2),
+                    "hop_edges_per_s": round(eps, 1),
+                    "efficiency": round(eps / (base_t * n), 3),
+                }
+                print(
+                    f"[{tag}] {n} device(s): {dt*1e3:.1f} ms/step "
+                    f"(efficiency {eps/(base_t*n)*100:.0f}%)",
+                    file=sys.stderr, flush=True,
+                )
+
+        def make_edge_tp(n):
+            # 'data' edge partitioning x 'model' tensor parallel; keep the
+            # model axis at <=2 so small sweeps still exercise both axes
+            m = 2 if n >= 4 else 1
+            mesh = make_mesh((n // m, m), ("data", "model"), devices[:n])
+            step, params, opt_state = build_sharded_train_step(
+                mesh, g, mps, split, 3, cfg
+            )
+            return step, params, opt_state, ()
+
+        def make_halo(n):
+            mesh = make_mesh((n,), ("nodes",), devices[:n])
+            step, params, opt_state, x_sh = build_node_sharded_train_step(
+                mesh, g, mps, split, 3, cfg
+            )
+            return step, params, opt_state, (x_sh,)
+
+        sweep_step("edge+tp-train", make_edge_tp, train_results)
+        sweep_step("halo-train", make_halo, halo_train_results)
+
+    payload = {
         "metric": "multi_device_agg_scaling",
         "platform": devices[0].platform,
+        "devices_swept": counts,
+        "nodes": N, "edges": E, "feat": F,
         "edge_partitioned": results,
         "halo_sharded": halo_results,
-    }))
+        "edge_tp_train_step": train_results,
+        "halo_train_step": halo_train_results,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -149,6 +149,22 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
 
         _, fwd, bwd = op
         return onehot_spmm_mean(fwd, bwd, h)
+    if kind == "halo":
+        # node-sharded halo exchange: h must be the padded [P*S, F] array
+        # sharded along the mesh axis (train.loops.shard_graph_features)
+        from mpgnn_tpu.parallel.halo import (
+            HaloPlan,
+            halo_sharded_mean_aggregate,
+        )
+
+        _, mesh, axis, block, e_src, e_slot, e_mask, s_idx, s_mask = op
+        plan = HaloPlan(
+            num_shards=mesh.shape[axis], block=block,
+            halo_max=s_idx.shape[2], edge_max=e_src.shape[1],
+            edge_src_local=e_src, edge_dst_slot=e_slot, edge_mask=e_mask,
+            send_idx=s_idx, send_mask=s_mask,
+        )
+        return halo_sharded_mean_aggregate(mesh, h, plan, axis)
     raise ValueError(f"unknown hop op {kind!r}")
 
 

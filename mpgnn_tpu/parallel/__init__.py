@@ -16,6 +16,8 @@ from mpgnn_tpu.parallel.halo import (
     build_halo_plan,
     halo_sharded_mean_aggregate,
     pad_node_features,
+    shard_graph_features,
+    build_node_sharded_train_step,
 )
 
 __all__ = [
@@ -30,4 +32,6 @@ __all__ = [
     "build_halo_plan",
     "halo_sharded_mean_aggregate",
     "pad_node_features",
+    "shard_graph_features",
+    "build_node_sharded_train_step",
 ]

@@ -129,6 +129,22 @@ def pad_node_features(x: np.ndarray, plan: HaloPlan) -> np.ndarray:
     return out
 
 
+def shard_graph_features(
+    x: np.ndarray, mesh: Mesh, axis: str = "nodes"
+) -> jax.Array:
+    """Pad [N, F] node features to P*ceil(N/P) rows and block-shard them
+    along ``axis``. The padded row count matches every ``build_halo_plan``
+    for the same (N, P), so one sharded feature array serves all relations'
+    plans."""
+    from jax.sharding import NamedSharding
+
+    P_n = mesh.shape[axis]
+    S = -(-x.shape[0] // P_n)
+    out = np.zeros((P_n * S, x.shape[1]), x.dtype)
+    out[: x.shape[0]] = np.asarray(x)
+    return jax.device_put(out, NamedSharding(mesh, P(axis)))
+
+
 def halo_sharded_mean_aggregate(
     mesh: Mesh,
     x_sharded: jax.Array,   # [P*S, F], sharded P('nodes') on axis 0
@@ -194,12 +210,13 @@ def halo_sharded_mean_aggregate(
 def build_node_sharded_train_step(
     mesh: Mesh,
     graph,
-    metapath,
+    metapaths,
     split,
     num_classes: int,
     cfg=None,
     seed: int = 0,
     axis: str = "nodes",
+    class_weighted: bool = False,
 ):
     """Full MPGNN training step with NODE-SHARDED activations.
 
@@ -208,57 +225,80 @@ def build_node_sharded_train_step(
     GEMM side is annotated for GSPMD (weights replicated, activations
     sharded on rows), and the loss gathers the train rows across shards.
     This is the configuration for graphs whose [N, F]/[N, H] state exceeds
-    one chip's HBM. Returns (step_fn, params, opt_state, x_sharded)."""
+    one chip's HBM.
+
+    The step is THE REAL MODEL, not a simplified twin: it runs
+    ``models.mpgnn.mpgnn_forward`` over 'halo' hop ops — multi-metapath
+    conv stacks with the concat head (model.py:179-228), basis/block weight
+    decompositions via cfg.num_bases/num_blocks, epoch-invariant first-hop
+    caching, cfg.compute_dtype, cfg.dropout with the rbg/threefry key
+    choice, and the same (optionally class-weighted) NLL as
+    ``train_mpgnn``. For whole training runs prefer
+    ``train_mpgnn(backend='halo', mesh=...)``, which wraps the identical
+    program in the epoch ``lax.scan``.
+
+    ``metapaths`` may be one metapath (flat ints) or a list of metapaths.
+    Returns (step_fn, params, opt_state, x_sharded)."""
     import optax
     from jax.sharding import NamedSharding
 
     from mpgnn_tpu.config import MPGNNConfig
-    from mpgnn_tpu.models.mpgnn import init_mpgnn
-    from mpgnn_tpu.train.loops import make_optimizer
+    from mpgnn_tpu.models.mpgnn import (
+        init_mpgnn,
+        mpgnn_forward,
+        precompute_first_hop,
+    )
+    from mpgnn_tpu.train.loops import build_hop_arrays, make_optimizer
 
     cfg = cfg or MPGNNConfig()
-    P_n = mesh.shape[axis]
-    plans = []
-    for rel in metapath:
-        s, d = graph.rel_edges(int(rel))
-        plans.append(build_halo_plan(s, d, graph.num_nodes, P_n))
-    row_sh = NamedSharding(mesh, P(axis))
+    if metapaths and not hasattr(metapaths[0], "__len__"):
+        metapaths = [list(metapaths)]
+    metapaths = [list(mp) for mp in metapaths]
     repl = NamedSharding(mesh, P())
 
-    x_sharded = jax.device_put(pad_node_features(graph.x, plans[0]), row_sh)
+    hop_ops = build_hop_arrays(
+        graph, metapaths, backend="halo", mesh=mesh, mesh_axis=axis
+    )
+    x_sharded = shard_graph_features(np.asarray(graph.x), mesh, axis)
     train_idx = jax.device_put(jnp.asarray(split.train_idx), repl)
     train_y = jax.device_put(jnp.asarray(split.train_y), repl)
+    compute_dtype = (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
+
+    if class_weighted:
+        counts = np.bincount(np.asarray(split.train_y), minlength=num_classes)
+        cw = jnp.asarray(
+            len(split.train_y) / (num_classes * np.maximum(counts, 1)),
+            dtype=jnp.float32,
+        )
+    else:
+        cw = jnp.ones((num_classes,), jnp.float32)
+    cw = jax.device_put(cw, repl)
 
     params = init_mpgnn(
         jax.random.PRNGKey(seed), graph.feat_dim, cfg.hidden_dim,
-        num_classes, [list(metapath)],
+        num_classes, metapaths,
+        num_bases=cfg.num_bases, num_blocks=cfg.num_blocks,
     )
     params = jax.device_put(params, repl)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 
-    def forward(p, x, rng, train):
-        h = x
-        for j, plan in enumerate(plans):
-            conv = p.convs[0][j]
-            agg = halo_sharded_mean_aggregate(mesh, h, plan, axis)
-            h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
-            h = jax.lax.with_sharding_constraint(h, row_sh)
-            if train and cfg.dropout > 0:
-                k = jax.random.fold_in(rng, j)
-                keep = jax.random.bernoulli(k, 1 - cfg.dropout, h.shape)
-                h = jnp.where(keep, h / (1 - cfg.dropout), 0.0)
-        h = jax.nn.relu(h @ p.fc1.w + p.fc1.b)
-        h = h @ p.fc2.w + p.fc2.b
-        return jax.nn.log_softmax(h, axis=1)
-
-    def loss_fn(p, x, rng):
-        logp = forward(p, x, rng, True)[train_idx]   # cross-shard gather
-        return -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], axis=1))
+    def loss_fn(p, x, first_aggs, rng):
+        logp = mpgnn_forward(
+            p, x, hop_ops,
+            dropout_rate=cfg.dropout, dropout_rng=rng, train=True,
+            compute_dtype=compute_dtype, first_hop_agg=first_aggs,
+        )[train_idx]                                 # cross-shard gather
+        per = -jnp.take_along_axis(logp, train_y[:, None], axis=1)[:, 0]
+        w = cw[train_y]
+        return jnp.sum(per * w) / jnp.sum(w)
 
     @jax.jit
     def step_fn(p, opt_st, x, rng):
-        loss, g = jax.value_and_grad(loss_fn)(p, x, rng)
+        first_aggs = precompute_first_hop(x, hop_ops, compute_dtype)
+        loss, g = jax.value_and_grad(loss_fn)(p, x, first_aggs, rng)
         upd, opt_st = tx.update(g, opt_st, p)
         return optax.apply_updates(p, upd), opt_st, loss
 

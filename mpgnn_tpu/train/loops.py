@@ -104,6 +104,8 @@ def build_hop_arrays(
     metapaths: Sequence[Sequence[int]],
     pad_multiple: int = 128,
     backend: str = "segment",
+    mesh=None,
+    mesh_axis: str = "nodes",
 ):
     """Per-(metapath, hop) aggregation operands for the relations on a path,
     as tagged tuples consumed by models.mpgnn.hop_aggregate.
@@ -116,7 +118,15 @@ def build_hop_arrays(
       * 'dense'   — precomputed row-normalized adjacency -> one MXU GEMM
                     per hop; fastest whenever A_r fits HBM. Adjacencies are
                     cached per relation and shared across hops/candidates.
+      * 'halo'    — NODE-SHARDED aggregation over ``mesh``: node features
+                    block-partitioned along ``mesh_axis``, boundary features
+                    exchanged with one all_to_all (parallel/halo.py). For
+                    graphs whose [N, F] state exceeds one chip's HBM.
+                    Requires ``mesh``; x must be padded+sharded (see
+                    ``shard_graph_features``).
     """
+    if backend == "halo" and mesh is None:
+        raise ValueError("backend='halo' requires a mesh")
     hop_ops: List[List[tuple]] = []
     dense_cache: dict = getattr(graph, "_dense_cache", None) or {}
     graph._dense_cache = dense_cache
@@ -201,6 +211,22 @@ def build_hop_arrays(
                     )
                 fwd, bwd = dense_cache[key]
                 ops.append(("csr", fwd, bwd))
+            elif backend == "halo":
+                from mpgnn_tpu.parallel.halo import build_halo_plan
+
+                n_shards = mesh.shape[mesh_axis]
+                key = ("halo", rel, n_shards)
+                if key not in dense_cache:
+                    s, d = graph.rel_edges(rel)
+                    dense_cache[key] = build_halo_plan(
+                        s, d, graph.num_nodes, n_shards
+                    )
+                plan = dense_cache[key]
+                ops.append(
+                    ("halo", mesh, mesh_axis, plan.block,
+                     plan.edge_src_local, plan.edge_dst_slot,
+                     plan.edge_mask, plan.send_idx, plan.send_mask)
+                )
             else:
                 raise ValueError(f"unknown backend {backend!r}")
         hop_ops.append(ops)
@@ -221,6 +247,10 @@ def split_hop_ops(hop_ops):
         if op[0] == "fused":
             _, operand, interp = op
             return ("fused", operand.num_rows, interp), (operand.a, operand.a_t)
+        if op[0] == "halo":
+            # (mesh, axis, block) are static/hashable; the plan's five
+            # per-shard arrays travel as jit arguments
+            return tuple(op[:4]), tuple(op[4:])
         return op[0], tuple(op[1:])
 
     kinds = [[split_op(op)[0] for op in ops] for ops in hop_ops]
@@ -240,6 +270,8 @@ def retag_hop_ops(hop_kinds, hop_data):
                 _, num_rows, interp = k
                 a, a_t = d
                 r.append(("fused", DenseConvOperand(a, a_t, num_rows), interp))
+            elif isinstance(k, tuple) and k[0] == "halo":
+                r.append(tuple(k) + tuple(d))
             elif isinstance(k, tuple):
                 r.append(k)
             else:
@@ -385,6 +417,8 @@ def train_mpgnn(
     x_override: Optional[np.ndarray] = None,
     backend: Optional[str] = None,
     class_weighted: bool = False,
+    mesh=None,
+    mesh_axis: str = "nodes",
 ) -> MPGNNTrainResult:
     """Train an MPGNN on the given metapath set; full-graph, jitted scan.
 
@@ -395,12 +429,29 @@ def train_mpgnn(
     Adam(0.01, wd=5e-4), 1000 epochs, dropout 0.6.
 
     ``backend`` (default: ``cfg.backend``) may be 'auto' — resolved per
-    workload by ``resolve_backend``."""
+    workload by ``resolve_backend``. ``backend='halo'`` with a ``mesh``
+    trains NODE-SHARDED: features, every activation and each hop's halo
+    exchange stay block-partitioned along ``mesh_axis`` (parallel/halo.py)
+    — the same model, loss, decompositions, first-hop caching and dropout
+    semantics as the single-device path, for graphs whose node state
+    exceeds one chip's HBM."""
     cfg = cfg or MPGNNConfig()
     metapaths = [list(mp) for mp in metapaths]
     backend = resolve_backend(backend or cfg.backend, graph, metapaths)
-    x = jnp.asarray(x_override if x_override is not None else graph.x)
-    hop_ops = build_hop_arrays(graph, metapaths, backend=backend)
+    if backend == "halo":
+        if mesh is None:
+            raise ValueError("backend='halo' requires mesh=")
+        from mpgnn_tpu.parallel.halo import shard_graph_features
+
+        x = shard_graph_features(
+            np.asarray(x_override if x_override is not None else graph.x),
+            mesh, mesh_axis,
+        )
+    else:
+        x = jnp.asarray(x_override if x_override is not None else graph.x)
+    hop_ops = build_hop_arrays(
+        graph, metapaths, backend=backend, mesh=mesh, mesh_axis=mesh_axis
+    )
     # Split tagged ops into a static kind structure + a dynamic array pytree:
     # large operands (e.g. dense adjacencies) must enter jit as ARGUMENTS,
     # not closure constants — embedded constants bloat the serialized HLO
@@ -427,16 +478,32 @@ def train_mpgnn(
         # uniform weights reduce to the plain mean (sum(per)/n) exactly
         cw = jnp.ones((num_classes,), jnp.float32)
 
+    split_arrays = [
+        jnp.asarray(a) for a in (
+            split.train_idx, split.train_y, split.val_idx, split.val_y,
+            split.test_idx, split.test_y,
+        )
+    ]
+    if backend == "halo":
+        # commit shardings up front: plan arrays block-sharded (leading
+        # axis = shard), everything else replicated across the mesh
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        row = NamedSharding(mesh, _P(mesh_axis))
+        repl = NamedSharding(mesh, _P())
+        hop_data = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, row), hop_data
+        )
+        params0 = jax.device_put(params0, repl)
+        split_arrays = [jax.device_put(a, repl) for a in split_arrays]
+        cw = jax.device_put(cw, repl)
+
     run = _train_program(
         _kinds_key(hop_kinds), cfg.epochs, cfg.lr, cfg.weight_decay,
         cfg.dropout, track_best, num_classes, cfg.compute_dtype,
     )
     params, train_f1, val_f1, test_f1, last_loss = run(
-        params0, hop_data, x,
-        jnp.asarray(split.train_idx), jnp.asarray(split.train_y),
-        jnp.asarray(split.val_idx), jnp.asarray(split.val_y),
-        jnp.asarray(split.test_idx), jnp.asarray(split.test_y),
-        drop_key, cw,
+        params0, hop_data, x, *split_arrays, drop_key, cw,
     )
     return MPGNNTrainResult(
         params=params,

@@ -157,29 +157,31 @@ def test_halo_plan_padded_rows_zero():
     assert np.all(out[1:5] == 0.0) and np.all(out[6:] == 0.0)
 
 
+def _toy_hetero(seed=5, N=96, E=500, F=4, R=3, C=2):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    rel = rng.integers(0, R, E)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    labels = rng.integers(0, C, N)
+    g = HeteroGraph(x, src, dst, rel, num_relations=R)
+    return g, split_nodes(labels)
+
+
 def test_node_sharded_train_step_matches_replicated():
-    """The node-sharded training step produces the same loss trajectory as
-    the single-device trainer for identical params/data."""
+    """The node-sharded step (REAL model: multi-metapath concat head) gives
+    the same loss trajectory as the single-device mpgnn_forward trainer."""
     from mpgnn_tpu.config import MPGNNConfig
-    from mpgnn_tpu.graph.hetero import HeteroGraph
-    from mpgnn_tpu.graph.io import split_nodes
     from mpgnn_tpu.parallel import make_mesh
     from mpgnn_tpu.parallel.halo import build_node_sharded_train_step
 
-    rng = np.random.default_rng(5)
-    N, E = 96, 500
-    src = rng.integers(0, N, E)
-    dst = rng.integers(0, N, E)
-    rel = rng.integers(0, 2, E)
-    x = rng.normal(size=(N, 4)).astype(np.float32)
-    labels = rng.integers(0, 2, N)
-    g = HeteroGraph(x, src, dst, rel, num_relations=2)
-    split = split_nodes(labels)
+    g, split = _toy_hetero()
+    mps = [[0, 1], [2, 0]]
     cfg = MPGNNConfig(hidden_dim=8, dropout=0.0)
 
     mesh = make_mesh((4,), ("nodes",), jax.devices()[:4])
     step, params, opt_state, x_sh = build_node_sharded_train_step(
-        mesh, g, [0, 1], split, 2, cfg, seed=0
+        mesh, g, mps, split, 2, cfg, seed=0
     )
     losses = []
     k = jax.random.PRNGKey(0)
@@ -196,8 +198,8 @@ def test_node_sharded_train_step_matches_replicated():
     from mpgnn_tpu.models.mpgnn import init_mpgnn, mpgnn_forward
     from mpgnn_tpu.train.loops import build_hop_arrays, make_optimizer
 
-    p0 = init_mpgnn(jax.random.PRNGKey(0), 4, 8, 2, [[0, 1]])
-    ops = build_hop_arrays(g, [[0, 1]], pad_multiple=8)
+    p0 = init_mpgnn(jax.random.PRNGKey(0), 4, 8, 2, mps)
+    ops = build_hop_arrays(g, mps, pad_multiple=8)
     tx = make_optimizer(cfg)
     st = tx.init(p0)
     ref_losses = []
@@ -206,10 +208,51 @@ def test_node_sharded_train_step_matches_replicated():
     p = p0
     for i in range(3):
         def lf(p):
-            out = mpgnn_forward(p, jnp.asarray(x), ops, train=False)
+            out = mpgnn_forward(p, jnp.asarray(g.x), ops, train=False)
             return -jnp.mean(jnp.take_along_axis(out[ti], ty[:, None], 1))
         loss, grads = jax.value_and_grad(lf)(p)
         upd, st = tx.update(grads, st, p)
         p = optax.apply_updates(p, upd)
         ref_losses.append(float(loss))
     np.testing.assert_allclose(losses, ref_losses, rtol=1e-4, atol=1e-5)
+
+
+def test_train_mpgnn_halo_backend_matches_single_device():
+    """train_mpgnn(backend='halo', mesh=...) — the node-sharded whole-run
+    trainer — matches the replicated segment backend on loss AND metrics."""
+    from mpgnn_tpu.config import MPGNNConfig
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.train.loops import train_mpgnn
+
+    g, split = _toy_hetero(seed=7)
+    mps = [[0, 1], [2]]
+    cfg = MPGNNConfig(hidden_dim=8, epochs=5, dropout=0.0)
+
+    ref = train_mpgnn(g, mps, split, 2, cfg, seed=3, backend="segment")
+    mesh = make_mesh((4,), ("nodes",), jax.devices()[:4])
+    got = train_mpgnn(
+        g, mps, split, 2, cfg, seed=3, backend="halo", mesh=mesh
+    )
+    np.testing.assert_allclose(got.final_loss, ref.final_loss,
+                               rtol=1e-4, atol=1e-5)
+    assert got.val_f1 == ref.val_f1
+    assert got.test_f1 == ref.test_f1
+
+
+def test_train_mpgnn_halo_decomposed_and_bf16():
+    """Node-sharded training composes with the basis decomposition,
+    class-weighted NLL and the bf16 compute dtype (smoke: finite loss)."""
+    from mpgnn_tpu.config import MPGNNConfig
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.train.loops import train_mpgnn
+
+    g, split = _toy_hetero(seed=9)
+    mesh = make_mesh((4,), ("nodes",), jax.devices()[:4])
+    cfg = MPGNNConfig(hidden_dim=8, epochs=3, dropout=0.6, num_bases=2,
+                      compute_dtype="bfloat16")
+    res = train_mpgnn(
+        g, [[0, 1]], split, 2, cfg, seed=0, backend="halo", mesh=mesh,
+        class_weighted=True,
+    )
+    assert np.isfinite(res.final_loss)
+    assert 0.0 <= res.val_f1 <= 1.0
