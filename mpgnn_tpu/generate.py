@@ -26,6 +26,9 @@ def main(argv=None):
     sp.add_argument("--shared_relations", type=int, default=0)
     sp.add_argument("--metapath2", type=str, required=False)
     sp.add_argument("--metapath3", type=str, required=False)
+    sp.add_argument("--multiclass", action="store_true",
+                    help="one label class per planted path (plus background "
+                         "class 0) instead of the reference's binary union")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out", type=str, required=True)
 
@@ -42,10 +45,16 @@ def main(argv=None):
             args.num_nodes, args.max_rel_for_node, args.metapath,
             overlap=args.overlap, shared_relations=args.shared_relations,
             seed=args.seed, out_dir=args.out, metapath2=args.metapath2,
+            metapath3=args.metapath3, multiclass=args.multiclass,
         )
+        extras = [g[k] for k in ("metapath2_relations", "metapath3_relations")
+                  if g.get(k) is not None]
         print(
             f"wrote {args.out}: {args.num_nodes} nodes, {len(g['src'])} edges, "
             f"planted metapath (eval order) {g['metapath_relations']}"
+            + (f" + extra paths {extras}" if extras else "")
+            + (f", {len(set(g['labels'].tolist()))} classes"
+               if args.multiclass else "")
         )
     else:
         from mpgnn_tpu.graph.fb15k import preprocess_fb15k

@@ -64,8 +64,11 @@ def generate_synthetic_graph(
     planted_relations: Optional[Sequence[int]] = None,
     metapath2: Optional[str] = None,
     planted_relations2: Optional[Sequence[int]] = None,
+    metapath3: Optional[str] = None,
+    planted_relations3: Optional[Sequence[int]] = None,
+    multiclass: bool = False,
 ):
-    """Generate a synthetic colored graph with one or two planted metapaths.
+    """Generate a synthetic colored graph with up to three planted metapaths.
 
     Returns a dict with in-memory arrays and (if ``out_dir``) writes the five
     reference-format files. ``metapath`` is a color path like
@@ -75,7 +78,15 @@ def generate_synthetic_graph(
     and node labels become the UNION of both reachability sets (reference
     :299-352: label1[k]=1 wherever label2[k]=1); sparsification applies only
     to metapath 1, as in the reference (:369-393).
-    """
+
+    ``multiclass=True`` (a framework extension — the reference generator
+    only emits binary labels) assigns one CLASS per planted path instead of
+    the union: label c for the heads of path c (1-based; a later path wins
+    ties, matching the one-vs-rest search's per-class binarization), 0 for
+    background nodes. With K planted paths the dataset has K+1 classes, each
+    non-background class carrying its own recoverable metapath — the
+    signal-bearing multi-class workload for run.py's class loop
+    (main.py:1214)."""
     rng = np.random.default_rng(seed)
     rel_table = relation_table(overlap, shared_relations)
 
@@ -156,14 +167,32 @@ def generate_synthetic_graph(
     embeddings, labels = backward_reachability(meta, order_colors_rev)
     labels = labels.copy()
 
-    meta2 = None
-    if metapath2 is not None:
-        oc2, fwd2 = pick_relations(metapath2, planted_relations2)
-        meta2 = fwd2[::-1]
-        oc2_rev = oc2[::-1]
-        embs2, labels2 = backward_reachability(meta2, oc2_rev)
-        embeddings = embeddings + embs2      # appended to embedding.dat (:311)
-        labels[labels2 == 1] = 1             # label union (:349-352)
+    meta2 = meta3 = None
+    extra_heads = []                         # per extra path: head mask
+    for path_str, pinned in (
+        (metapath2, planted_relations2), (metapath3, planted_relations3),
+    ):
+        if path_str is None:
+            continue
+        oc_k, fwd_k = pick_relations(path_str, pinned)
+        meta_k = fwd_k[::-1]
+        embs_k, labels_k = backward_reachability(meta_k, oc_k[::-1])
+        embeddings = embeddings + embs_k     # appended to embedding.dat (:311)
+        extra_heads.append(labels_k)
+        if meta2 is None:
+            meta2 = meta_k
+        else:
+            meta3 = meta_k
+    if multiclass:
+        # one class per planted path: 1 = path-1 heads, 2 = path-2 heads, ...
+        # (later path wins overlaps), 0 = background
+        y = np.zeros(num_nodes, dtype=np.int64)
+        for ci, heads in enumerate([labels] + extra_heads, start=1):
+            y[heads == 1] = ci
+        labels = y
+    else:
+        for heads in extra_heads:
+            labels[heads == 1] = 1           # label union (:349-352)
 
     # ------------------------------------------------- sparsification
     # Reference :369-393: an edge is KEPT unless, for some hop k, its source
@@ -202,6 +231,7 @@ def generate_synthetic_graph(
         "metapath_colors": order_colors_rev,
         "metapath_str": metapath,
         "metapath2_relations": meta2,        # None unless metapath2 given
+        "metapath3_relations": meta3,        # None unless metapath3 given
     }
 
     if out_dir is not None:
@@ -229,6 +259,14 @@ def write_dat_files(out_dir: str, g: dict) -> None:
         f.write(g["metapath_str"] + "\n")
         f.write(" ".join(str(v) for v in g["metapath_relations"]) + " \n")
         f.write(" ".join(str(v) for v in g["metapath_colors"]) + " ")
+    # extra planted paths (framework extension): one file per path, line 2 =
+    # relations in reversed (search-discovery) order like metapath.dat
+    for key, fname in (("metapath2_relations", "metapath2.dat"),
+                       ("metapath3_relations", "metapath3.dat")):
+        if g.get(key) is not None:
+            with open(os.path.join(out_dir, fname), "w") as f:
+                f.write("\n")
+                f.write(" ".join(str(v) for v in g[key]) + " \n")
 
 
 def read_planted_metapath(folder: str) -> List[int]:

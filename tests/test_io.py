@@ -149,3 +149,39 @@ def test_generator_two_planted_metapaths():
     assert (g2["labels"] >= g1["labels"]).all() or g2["labels"].sum() > 0
     # embeddings extended by the second path's hops
     assert len(g2["embeddings"]) == len(g1["embeddings"]) + 1
+
+
+def test_generator_multiclass_three_paths(tmp_path):
+    """multiclass=True assigns one class per planted path (later path wins
+    overlaps), 0 for background; extra metapath files round-trip."""
+    g = generate_synthetic_graph(
+        600, 4, "red-red-blue", seed=11,
+        metapath2="blue-blue-red", metapath3="blue-red",
+        multiclass=True, out_dir=str(tmp_path / "mc"),
+    )
+    y = g["labels"]
+    assert set(np.unique(y)) <= {0, 1, 2, 3}
+    # head masks from the per-path reachability embeddings
+    l1 = len(g["metapath_relations"])
+    l2 = len(g["metapath2_relations"])
+    heads1 = g["embeddings"][l1 - 1] == 1
+    heads2 = g["embeddings"][l1 + l2 - 1] == 1
+    heads3 = g["embeddings"][-1] == 1
+    assert (y[heads3] == 3).all()                      # last path wins
+    assert (y[heads2 & ~heads3] == 2).all()
+    assert (y[heads1 & ~heads2 & ~heads3] == 1).all()
+    assert (y[~heads1 & ~heads2 & ~heads3] == 0).all()
+    # label.dat carries the class ids; extra metapath files readable
+    import os
+    lab = np.loadtxt(tmp_path / "mc" / "label.dat", dtype=np.int64)
+    assert (lab[:, 1] == y).all()
+    assert os.path.exists(tmp_path / "mc" / "metapath2.dat")
+    from mpgnn_tpu.graph.generate import read_planted_metapath
+    assert [int(v) for v in
+            open(tmp_path / "mc" / "metapath3.dat").read().splitlines()[1].split()
+            ] == g["metapath3_relations"]
+    # binary union mode unchanged by the refactor
+    gu = generate_synthetic_graph(
+        600, 4, "red-red-blue", seed=11, metapath2="blue-blue-red",
+    )
+    assert set(np.unique(gu["labels"])) <= {0, 1}
