@@ -264,6 +264,16 @@ def test_resolve_backend_auto(planted):
     n = graph.num_nodes
     tight = 2 * 2 * n * n * 4 - 1
     assert resolve_backend("auto", graph, mps, budget_bytes=tight) == "segment"
+    # past 1M edges/relation XLA's scatter-add collapses (0.8 GB/s measured,
+    # benchmarks/micro_agg.py) -> 'auto' switches to the Pallas sorted-CSR
+    # kernel
+    saved = graph.rel_counts.copy()
+    try:
+        graph.rel_counts[0] = 2_000_000
+        assert resolve_backend(
+            "auto", graph, mps, budget_bytes=tight) == "csr"
+    finally:
+        graph.rel_counts[:] = saved
 
 
 def test_train_with_rbg_dropout_runs(planted):
