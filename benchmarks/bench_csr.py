@@ -7,8 +7,11 @@ not block on this image — see benchmarks/micro_agg.py).
 Run:  python benchmarks/bench_csr.py [N] [E] [F]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

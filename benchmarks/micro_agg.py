@@ -12,8 +12,11 @@ Measurement notes (this image's axon TPU tunnel):
 Run:  python benchmarks/micro_agg.py [N] [E] [F]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -90,7 +90,12 @@ def _build_one_direction(
     num_rows: int, bm: int, et: int = _ET,
 ) -> CsrBlocking:
     assert et == _ET, "edge tile is fixed by the TPU tile shape"
-    order = np.argsort(rows, kind="stable")
+    # primary sort: row block (each block owns a contiguous edge span);
+    # secondary: COLUMN — the kernel is insensitive to edge order inside a
+    # block (the one-hot routes each edge by its own local row), so ordering
+    # by gather address turns the XLA row gather's access pattern from
+    # random into block-monotonic, which is what HBM burst locality wants
+    order = np.lexsort((cols, rows // bm))
     rows, cols, weights = rows[order], cols[order], weights[order]
     nb = max(1, -(-num_rows // bm))
     counts = np.bincount(rows // bm, minlength=nb)
