@@ -115,10 +115,20 @@ def main():
     rows["segment fwd+bwd"], _ = timeit(seg_fwdbwd, x_d)
     rows["csr fwd+bwd"], _ = timeit(csr_fwdbwd, x_d, fwd, bwd)
 
+    # bf16 activations (the model's compute_dtype=bfloat16 path): halves
+    # the gather's HBM bytes — the csr path's measured ceiling
+    x16 = x_d.astype(jnp.bfloat16)
+
+    def csr_fwd16(x, fwd, bwd):
+        return dep(x, csr_mean_aggregate(x, fwd, bwd))
+
+    rows["csr fwd bf16"], _ = (lambda: timeit(csr_fwd16, x16, fwd, bwd))()
+
     print(f"N={n} E={e} F={f}  (edge-row GB = E*F*4/1e9 = {e*f*4/1e9:.2f})")
     for k, t in rows.items():
         passes = 2 if "bwd" in k else 1
-        gbs = passes * e * f * 4 / t / 1e9
+        width = 2 if "bf16" in k else 4
+        gbs = passes * e * f * width / t / 1e9
         print(f"{k:18s} {t*1e3:9.2f} ms   {e*passes/t/1e6:9.1f} M edge-visits/s"
               f"   {gbs:7.1f} GB/s ({100*gbs/HBM_GBS:.1f}% HBM)")
 

@@ -143,6 +143,13 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
         from mpgnn_tpu.ops.pallas_csr import csr_mean_aggregate
 
         _, fwd, bwd = op
+        if h.dtype == jnp.bfloat16:
+            # measured (bench_csr, v5e): bf16 edge rows (32 B) gather SLOWER
+            # than f32 (158.8 vs 116.6 ms at 10M edges) — sub-burst-
+            # granularity accesses; aggregate in f32, hand back bf16
+            return csr_mean_aggregate(
+                h.astype(jnp.float32), fwd, bwd
+            ).astype(h.dtype)
         return csr_mean_aggregate(h, fwd, bwd)
     if kind == "onehot":
         from mpgnn_tpu.ops.pallas_spmm import onehot_spmm_mean
