@@ -41,19 +41,24 @@ def main():
                     help="write the results JSON to this path too")
     args = ap.parse_args()
 
-    from mpgnn_tpu.utils.prof import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    if args.platform == "cpu" and "jax" not in sys.modules:
-        os.environ["PALLAS_AXON_POOL_IPS"] = ""
-        os.environ["JAX_PLATFORMS"] = "cpu"
+    # This image's sitecustomize imports jax at interpreter start, so env
+    # vars alone never switch platforms here — jax.config.update BEFORE the
+    # first device use is the reliable override. XLA_FLAGS is still read at
+    # backend init, so the virtual device count takes effect too.
+    if args.platform == "cpu":
         n_want = args.devices or 8
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
                 flags + f" --xla_force_host_platform_device_count={n_want}"
             ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from mpgnn_tpu.utils.prof import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
