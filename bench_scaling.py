@@ -172,7 +172,12 @@ def main():
         mps = [[0, 1], [1, 0]]
         n_hop_edges = sum(int(g.rel_counts[r]) for mp in mps for r in mp)
 
-        def sweep_step(tag, make, store):
+        def sweep_step(tag, make, store, base_from_n=1):
+            # efficiency is anchored to the first point with n >= base_from_n;
+            # points below that anchor report efficiency=None (BASELINE.md
+            # calls the edge+tp n=1 point pathological — a 1-device
+            # shard_map program XLA schedules very differently — so it must
+            # not serve as the baseline)
             base_t = None
             for n in counts:
                 if tag == "halo-train" and n == 1:
@@ -190,15 +195,18 @@ def main():
                 jax.block_until_ready(loss)
                 dt = (time.time() - t0) / args.train_iters
                 eps = n_hop_edges / dt
-                base_t = base_t or eps / n
+                if base_t is None and n >= base_from_n:
+                    base_t = eps / n
+                eff = round(eps / (base_t * n), 3) if base_t else None
                 store[n] = {
                     "step_ms": round(dt * 1e3, 2),
                     "hop_edges_per_s": round(eps, 1),
-                    "efficiency": round(eps / (base_t * n), 3),
+                    "efficiency": eff,
                 }
+                eff_s = f"{eff*100:.0f}%" if eff is not None else "n/a"
                 print(
                     f"[{tag}] {n} device(s): {dt*1e3:.1f} ms/step "
-                    f"(efficiency {eps/(base_t*n)*100:.0f}%)",
+                    f"(efficiency {eff_s})",
                     file=sys.stderr, flush=True,
                 )
 
@@ -219,7 +227,8 @@ def main():
             )
             return step, params, opt_state, (x_sh,)
 
-        sweep_step("edge+tp-train", make_edge_tp, train_results)
+        sweep_step("edge+tp-train", make_edge_tp, train_results,
+                   base_from_n=2)
         sweep_step("halo-train", make_halo, halo_train_results)
 
     payload = {

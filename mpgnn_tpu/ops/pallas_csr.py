@@ -10,10 +10,12 @@ XLA's scatter-add serializes on TPU; it is ~400x below the streaming
 roofline and 10x worse than the (also slow) row gather. This kernel removes
 the scatter entirely:
 
-* edges arrive sorted by aggregation row (the CSR order the graph loader
-  already produces; reference surface: torch_sparse SpMM,
-  /root/reference/mp_rgcn_layer.py:277-279);
-* rows are partitioned into blocks of ``BM``; each block's edge list is
+* rows are partitioned into blocks of ``BM``; edges are grouped
+  contiguously by row block (intra-block edge order is by gather COLUMN —
+  the kernel routes each edge by its own local row, so it is insensitive
+  to intra-block order, and column order gives the XLA row gather
+  block-monotonic HBM addresses; reference surface: torch_sparse SpMM,
+  /root/reference/mp_rgcn_layer.py:277-279); each block's edge list is
   padded to a multiple of the edge-tile size ``ET`` so no tile straddles a
   block boundary (host build, static per relation);
 * the grid walks edge tiles; a scalar-prefetched ``tile_block`` array
@@ -53,11 +55,13 @@ import dataclasses
 class CsrBlocking:
     """Host-built static blocking of one relation's edges for one direction.
 
-    ``rows`` (the aggregation targets) are sorted; each row block of ``BM``
-    owns a contiguous, ET-padded span of the edge arrays. Empty blocks get
-    one all-padding tile so every output block is visited (and zeroed).
-    A pytree whose array leaves are jit ARGUMENTS while the layout ints
-    (num_rows/block_rows/edge_tile) stay static."""
+    Edges are grouped contiguously by row block (``rows // BM``
+    non-decreasing); WITHIN a block they are ordered by gather column, not
+    by row — each row block of ``BM`` owns a contiguous, ET-padded span of
+    the edge arrays. Empty blocks get one all-padding tile so every output
+    block is visited (and zeroed). A pytree whose array leaves are jit
+    ARGUMENTS while the layout ints (num_rows/block_rows/edge_tile) stay
+    static."""
 
     gidx: jax.Array        # [EP] gather index (other endpoint; 0 for pads)
     local: jax.Array       # [T, SUB, LANE] target row in-block (0 for pads)

@@ -153,7 +153,12 @@ def halo_sharded_mean_aggregate(
 ) -> jax.Array:
     """out[i] = mean over edges (i, d) of x[d], with nodes sharded.
 
-    Returns [P*S, F] sharded like the input. Padded rows aggregate to 0."""
+    Returns [P*S, F] sharded like the input. Padded rows aggregate to 0.
+
+    The halo EXCHANGE runs in the input dtype (bf16 halves the ICI bytes),
+    but both segment accumulations run in f32: a bf16 segment_sum cannot
+    represent integer counts >256 (or long feature sums exactly), which made
+    means for degree-1000 nodes off by ~50% before the fix."""
     shard_map = jax.shard_map
 
     def local_fn(x_l, e_src, e_slot, e_mask, s_idx, s_mask):
@@ -169,10 +174,12 @@ def halo_sharded_mean_aggregate(
         )                                            # [P, H, F]
         halo_flat = halo.reshape(-1, x_l.shape[1])
 
-        # 2. local partial first (scheduler can overlap it with the a2a)
+        # 2. local partial first (scheduler can overlap it with the a2a);
+        #    accumulate counts and sums in f32 regardless of compute dtype
+        acc = jnp.float32
         is_local = e_slot < plan.block
-        m_local = (e_mask & is_local).astype(x_l.dtype)
-        local_feats = x_l[jnp.minimum(e_slot, plan.block - 1)]
+        m_local = (e_mask & is_local).astype(acc)
+        local_feats = x_l[jnp.minimum(e_slot, plan.block - 1)].astype(acc)
         tot = jax.ops.segment_sum(
             local_feats * m_local[:, None], e_src,
             num_segments=plan.block,
@@ -180,15 +187,15 @@ def halo_sharded_mean_aggregate(
         cnt = jax.ops.segment_sum(m_local, e_src, num_segments=plan.block)
 
         # 3. remote contribution from the halo
-        m_rem = (e_mask & ~is_local).astype(x_l.dtype)
+        m_rem = (e_mask & ~is_local).astype(acc)
         rem_feats = halo_flat[
             jnp.maximum(e_slot - plan.block, 0)
-        ]
+        ].astype(acc)
         tot = tot + jax.ops.segment_sum(
             rem_feats * m_rem[:, None], e_src, num_segments=plan.block
         )
         cnt = cnt + jax.ops.segment_sum(m_rem, e_src, num_segments=plan.block)
-        return tot / jnp.maximum(cnt, 1.0)[:, None]
+        return (tot / jnp.maximum(cnt, 1.0)[:, None]).astype(x_l.dtype)
 
     return shard_map(
         local_fn,
@@ -231,14 +238,20 @@ def build_node_sharded_train_step(
     ``models.mpgnn.mpgnn_forward`` over 'halo' hop ops — multi-metapath
     conv stacks with the concat head (model.py:179-228), basis/block weight
     decompositions via cfg.num_bases/num_blocks, epoch-invariant first-hop
-    caching, cfg.compute_dtype, cfg.dropout with the rbg/threefry key
-    choice, and the same (optionally class-weighted) NLL as
-    ``train_mpgnn``. For whole training runs prefer
+    caching (the hop-0 aggregation of the constant features is computed ONCE
+    here and enters every step as an argument), cfg.compute_dtype,
+    cfg.dropout with the rbg/threefry key choice, and the same (optionally
+    class-weighted) NLL as ``train_mpgnn``. The halo plan arrays enter the
+    jitted step as ARGUMENTS (via split_hop_ops/retag_hop_ops, like
+    train_mpgnn) — embedding hundreds of MB of plan tables as closure
+    constants bloats the serialized HLO. For whole training runs prefer
     ``train_mpgnn(backend='halo', mesh=...)``, which wraps the identical
     program in the epoch ``lax.scan``.
 
     ``metapaths`` may be one metapath (flat ints) or a list of metapaths.
-    Returns (step_fn, params, opt_state, x_sharded)."""
+    Returns (step_fn, params, opt_state, x_sharded); the ``x`` passed to
+    ``step_fn`` must be the returned ``x_sharded`` (the cached hop-0
+    aggregation was computed from it)."""
     import optax
     from jax.sharding import NamedSharding
 
@@ -248,16 +261,26 @@ def build_node_sharded_train_step(
         mpgnn_forward,
         precompute_first_hop,
     )
-    from mpgnn_tpu.train.loops import build_hop_arrays, make_optimizer
+    from mpgnn_tpu.train.loops import (
+        build_hop_arrays,
+        make_optimizer,
+        retag_hop_ops,
+        split_hop_ops,
+    )
 
     cfg = cfg or MPGNNConfig()
     if metapaths and not hasattr(metapaths[0], "__len__"):
         metapaths = [list(metapaths)]
     metapaths = [list(mp) for mp in metapaths]
     repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(axis))
 
     hop_ops = build_hop_arrays(
         graph, metapaths, backend="halo", mesh=mesh, mesh_axis=axis
+    )
+    hop_kinds, hop_data = split_hop_ops(hop_ops)
+    hop_data = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, row), hop_data
     )
     x_sharded = shard_graph_features(np.asarray(graph.x), mesh, axis)
     train_idx = jax.device_put(jnp.asarray(split.train_idx), repl)
@@ -285,9 +308,9 @@ def build_node_sharded_train_step(
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 
-    def loss_fn(p, x, first_aggs, rng):
+    def loss_fn(p, x, ops, first_aggs, rng):
         logp = mpgnn_forward(
-            p, x, hop_ops,
+            p, x, ops,
             dropout_rate=cfg.dropout, dropout_rng=rng, train=True,
             compute_dtype=compute_dtype, first_hop_agg=first_aggs,
         )[train_idx]                                 # cross-shard gather
@@ -296,10 +319,23 @@ def build_node_sharded_train_step(
         return jnp.sum(per * w) / jnp.sum(w)
 
     @jax.jit
-    def step_fn(p, opt_st, x, rng):
-        first_aggs = precompute_first_hop(x, hop_ops, compute_dtype)
-        loss, g = jax.value_and_grad(loss_fn)(p, x, first_aggs, rng)
+    def _step(p, opt_st, x, rng, hd, first_aggs):
+        ops = retag_hop_ops(hop_kinds, hd)
+        loss, g = jax.value_and_grad(loss_fn)(p, x, ops, first_aggs, rng)
         upd, opt_st = tx.update(g, opt_st, p)
         return optax.apply_updates(p, upd), opt_st, loss
+
+    # hop-0 aggregates the CONSTANT input features — compute it once, not
+    # per step (train_mpgnn computes it once outside the epoch scan)
+    @jax.jit
+    def _first(x, hd):
+        return precompute_first_hop(
+            x, retag_hop_ops(hop_kinds, hd), compute_dtype
+        )
+
+    first_aggs = _first(x_sharded, hop_data)
+
+    def step_fn(p, opt_st, x, rng):
+        return _step(p, opt_st, x, rng, hop_data, first_aggs)
 
     return step_fn, params, opt_state, x_sharded

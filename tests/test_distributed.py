@@ -135,6 +135,41 @@ def test_halo_sharded_aggregate_matches_reference():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_halo_sharded_aggregate_bf16_high_degree():
+    """bf16 halo aggregation must stay accurate for hub nodes: the segment
+    sums/counts accumulate in f32 (a bf16 segment_sum cannot represent
+    counts >256 — means at degree 1000 measured ~1.59 vs true ~1.08 before
+    the fix)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.parallel.halo import (
+        build_halo_plan,
+        halo_sharded_mean_aggregate,
+        pad_node_features,
+    )
+
+    rng = np.random.default_rng(11)
+    N, F, Pn, DEG = 64, 8, 4, 1000
+    # node 0 has 1000 in-plan edges spread over all shards' nodes
+    src = np.zeros(DEG, np.int64)
+    dst = rng.integers(0, N, DEG).astype(np.int64)
+    x = (rng.random((N, F)).astype(np.float32) + 0.6).astype(jnp.bfloat16)
+
+    plan = build_halo_plan(src, dst, N, Pn)
+    mesh = make_mesh((Pn,), ("nodes",), jax.devices()[:Pn])
+    x_sh = jax.device_put(
+        pad_node_features(np.asarray(x), plan),
+        NamedSharding(mesh, PartitionSpec("nodes")),
+    )
+    got = np.asarray(
+        halo_sharded_mean_aggregate(mesh, x_sh, plan), dtype=np.float32
+    )[0]
+    want = np.asarray(x, np.float32)[dst].mean(axis=0)
+    # inputs are bf16-rounded but accumulation is exact -> ~1e-2 agreement
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_halo_plan_padded_rows_zero():
     from mpgnn_tpu.parallel.halo import (
         build_halo_plan,
