@@ -60,10 +60,13 @@ def main(argv=None):
         from mpgnn_tpu.graph.fb15k import preprocess_fb15k
 
         res = preprocess_fb15k(args.path, args.relation, out_dir=args.out)
+        extra = ""
+        if res["label_mode"] == "continent":
+            extra = f", continent counts {res['continent_counts']}"
         print(
             f"wrote {args.out or args.path}: {res['num_entities']} entities, "
             f"{len(res['src'])} links, {res['num_relations']} relations, "
-            f"{len(res['labels'])} labels"
+            f"{len(res['labels'])} labels ({res['label_mode']} mode){extra}"
         )
 
 

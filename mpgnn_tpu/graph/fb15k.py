@@ -7,9 +7,11 @@ Differences from the reference, by necessity or determinism:
 * relation re-iding uses sorted order (the reference iterates a Python set,
   whose order varies with hash seed; data_processing.py:191-195) — the
   shipped ``relations_legend.dat`` records whatever mapping a given run used.
-* geocoding continents (data_processing.py:19-26, :74-120) requires the
-  ``geocoder`` package and network egress; unavailable here, so continent
-  labels support only the offline name->continent table hook.
+* continent labels (data_processing.py:19-26, :74-120): the reference
+  geocodes destination names through the geonames web service; zero egress
+  here, so the SAME conversion path runs against the shipped offline
+  name->continent table (``graph.continents``), with the reference's
+  hard-coded overrides and the failed-geocode->label-6 behavior preserved.
 * NLTK stopwords/lemmatization degrade gracefully to regex tokenization when
   the NLTK corpora are not downloaded (zero-egress environment).
 """
@@ -66,24 +68,55 @@ def preprocess_fb15k(
     out_dir: Optional[str] = None,
     descriptions_file: str = "entity2textlong.txt",
     bow_components: int = 100,
+    continent_table: Optional[Dict[str, str]] = None,
 ) -> Dict[str, object]:
     """Full preprocessing pipeline. Writes link.dat / node.dat / label.dat /
     relations_legend.dat (+ node_bow.dat when descriptions exist) in the
-    reference formats; returns the in-memory arrays."""
+    reference formats; returns the in-memory arrays.
+
+    When ``relation`` is one of the three ``*/continent`` pseudo-relations
+    (CONTINENT_RELATIONS), labels are CONTINENT ids of the underlying
+    location relation's destinations (data_processing.py:74-120): the
+    trailing ``/continent`` is stripped, each destination entity's *name*
+    resolves to a continent code via the shipped offline table
+    (``graph.continents``, replacing the reference's geonames calls), and
+    sources get CONTINENT_IDS[code] (unknown -> 6, like a failed geocode).
+    ``continent_table`` overlays extra name->code entries."""
     import pandas as pd
 
     out_dir = out_dir or path
     names, triplets = load_triplet_files(path)
 
+    continent_mode = relation in CONTINENT_RELATIONS
+    if continent_mode:
+        # the pseudo-relation names the label semantics; the graph relation
+        # is the prefix (data_processing.py:75)
+        relation = relation[: -len("/continent")]
+
     # labels = destination of the chosen relation per source entity
-    # (data_processing.py:122-135)
+    # (data_processing.py:122-135); in continent mode, the destination's
+    # continent id instead (:102-113)
     filtered = triplets[triplets["relation"] == relation]
     possible_destinations = sorted(set(filtered["destination_entity"]))
     dest_id = {d: i for i, d in enumerate(possible_destinations)}
-    labels_by_entity = {
-        row.source_entity: dest_id[row.destination_entity]
-        for row in filtered.itertuples()
-    }
+    continent_counts: Dict[object, int] = {}
+    if continent_mode:
+        from mpgnn_tpu.graph.continents import continent_of
+
+        name_of = dict(zip(names["entity"], names["name"]))
+        labels_by_entity = {}
+        for row in filtered.itertuples():
+            code = continent_of(
+                str(name_of.get(row.destination_entity, "")),
+                extra=continent_table,
+            )
+            labels_by_entity[row.source_entity] = CONTINENT_IDS[code]
+            continent_counts[code] = continent_counts.get(code, 0) + 1
+    else:
+        labels_by_entity = {
+            row.source_entity: dest_id[row.destination_entity]
+            for row in filtered.itertuples()
+        }
 
     # "link unlinked nodes" quirk (data_processing.py:153-164): for every
     # triplet whose source is a label destination entity, append one copy of
@@ -168,6 +201,8 @@ def preprocess_fb15k(
         "num_relations": len(relation_list),
         "relation_id": relation_id,
         "many_to_one": many_to_one_relations(triplets),
+        "label_mode": "continent" if continent_mode else "destination",
+        "continent_counts": continent_counts,
     }
 
 
@@ -218,3 +253,11 @@ def build_bow_features(
 CONTINENT_IDS = {  # data_processing.py:84-92
     "EU": 0, "AS": 1, "SA": 2, "NA": 3, "AF": 4, "OC": 5, None: 6
 }
+
+# the three location relations whose labels geocode to continents
+# (data_processing.py:74)
+CONTINENT_RELATIONS = (
+    "/base/biblioness/bibs_location/country/continent",
+    "/base/biblioness/bibs_location/state/continent",
+    "/people/person/place_of_birth/continent",
+)

@@ -67,6 +67,75 @@ def test_preprocess_fb15k(mini_fb, tmp_path):
     assert graph.x.sum() == 0.0
 
 
+@pytest.fixture
+def mini_fb_continent(tmp_path):
+    """Location-relation fixture: sources are cities, destinations are
+    countries whose continent the offline table must resolve."""
+    d = str(tmp_path / "fbc")
+    os.makedirs(d)
+    ents = {
+        "paris": "Paris", "tokyo": "Tokyo", "lima": "Lima", "x1": "Xanadu_9",
+        "fr": "France", "jp": "Japan", "pe": "Peru", "zz": "Atlantis_Land",
+        "e0": "name_e0", "e1": "name_e1",
+    }
+    with open(os.path.join(d, "FB15k_mid2name.txt"), "w") as f:
+        for mid, name in ents.items():
+            f.write(f"/m/{mid}\t{name}\n")
+    rel = "/base/biblioness/bibs_location/country"
+    triples = [
+        ("/m/paris", rel, "/m/fr"),
+        ("/m/tokyo", rel, "/m/jp"),
+        ("/m/lima", rel, "/m/pe"),
+        ("/m/x1", rel, "/m/zz"),          # unknown location -> label 6
+        ("/m/paris", "/r/knows", "/m/tokyo"),
+        ("/m/e0", "/r/knows", "/m/e1"),
+    ]
+    with open(os.path.join(d, "train.tsv"), "w") as f:
+        for s, r, o in triples:
+            f.write(f"{s}\t{r}\t{o}\n")
+    for fn in ("test.tsv", "dev.tsv"):
+        open(os.path.join(d, fn), "w").close()
+    return d
+
+
+def test_preprocess_fb15k_continent_mode(mini_fb_continent, tmp_path):
+    """The */continent pseudo-relation converts destinations to continent
+    label ids via the offline table (data_processing.py:74-120 semantics:
+    strip '/continent', resolve names, unknown -> 6)."""
+    out = str(tmp_path / "outc")
+    res = preprocess_fb15k(
+        mini_fb_continent,
+        "/base/biblioness/bibs_location/country/continent",
+        out_dir=out,
+    )
+    assert res["label_mode"] == "continent"
+    # country entities removed; label relation detached
+    assert "/base/biblioness/bibs_location/country" not in res["relation_id"]
+    # entity order: name-file order minus destinations ->
+    # paris=0 tokyo=1 lima=2 x1=3 e0=4 e1=5
+    labels = res["labels"]
+    assert labels[0] == 0   # France -> EU
+    assert labels[1] == 1   # Japan -> AS
+    assert labels[2] == 2   # Peru -> SA
+    assert labels[3] == 6   # Atlantis_Land -> unknown (failed geocode)
+    assert res["continent_counts"] == {"EU": 1, "AS": 1, "SA": 1, None: 1}
+
+
+def test_continent_of_table():
+    from mpgnn_tpu.graph.continents import continent_of
+
+    # reference hard-coded overrides (data_processing.py:105-108)
+    assert continent_of("United_States_of_America") == "NA"
+    assert continent_of("Republic_of_Macedonia") == "AS"
+    assert continent_of("Palestinian_National_Authority") == "AS"
+    # table + normalization + user overlay
+    assert continent_of("Germany") == "EU"
+    assert continent_of("new zealand") == "OC"
+    assert continent_of("Texas") == "NA"
+    assert continent_of("Nowhere") is None
+    assert continent_of("Nowhere", extra={"Nowhere": "AF"}) == "AF"
+
+
 def test_many_to_one_relations(mini_fb):
     import pandas as pd
 
