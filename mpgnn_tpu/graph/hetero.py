@@ -122,16 +122,17 @@ class HeteroGraph:
         self.edge_dst = edge_dst
         self.edge_type = edge_type
 
-        # relation-sorted storage: stable sort keeps file order per relation
-        order = np.argsort(edge_type, kind="stable")
+        # relation-sorted storage: stable counting sort keeps file order per
+        # relation (native C++ when available, numpy otherwise)
+        from mpgnn_tpu.native import sort_by_relation
+
+        order, rel_ptr = sort_by_relation(edge_type, self.num_relations)
         self._order = order
         self.sorted_src = edge_src[order]
         self.sorted_dst = edge_dst[order]
         self.sorted_type = edge_type[order]
-        counts = np.bincount(edge_type, minlength=self.num_relations)
-        self.rel_counts = counts.astype(np.int64)
-        self.rel_ptr = np.zeros(self.num_relations + 1, dtype=np.int64)
-        np.cumsum(counts, out=self.rel_ptr[1:])
+        self.rel_ptr = rel_ptr
+        self.rel_counts = np.diff(rel_ptr).astype(np.int64)
 
         self._nbr_cache: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -196,6 +197,24 @@ class HeteroGraph:
             mask[i, :n] = True
         return RelationBatch(relations=rels, src=src, dst=dst, mask=mask, counts=counts)
 
+    # -------------------------------------------------------------- degrees
+    def rel_degrees(self, relation: int) -> np.ndarray:
+        """Per-node out-degree of one relation (int32, cached; native C++).
+        Lets callers reason about table shapes (max degree, hub detection)
+        WITHOUT materializing [N, D] neighbor tables."""
+        key = ("deg", int(relation))
+        if key not in self._nbr_cache:
+            from mpgnn_tpu.native import degrees
+
+            src, _ = self.rel_edges(relation)
+            self._nbr_cache[key] = degrees(src, self.num_nodes)
+        return self._nbr_cache[key]
+
+    def rel_max_degree(self, relation: int) -> int:
+        """Max out-degree of one relation (>= 1 for shape purposes)."""
+        deg = self.rel_degrees(relation)
+        return max(int(deg.max()) if deg.size else 0, 1)
+
     # ------------------------------------------------------------ ELL tables
     def neighbor_table(
         self, relation: int, max_degree: Optional[int] = None
@@ -204,26 +223,20 @@ class HeteroGraph:
 
         Returns ``(nbr [N, D], mask [N, D])`` where row i lists destination
         nodes of edges ``(i, relation, d)`` in file order. Used by the dense
-        ELL aggregation backend and the scorer's segment-argmax.
-        """
+        ELL aggregation backend and the scorer's segment-argmax. Built by the
+        native C++ builder (vectorized numpy fallback) — no Python per-edge
+        loop on any load path."""
         key = (int(relation), -1 if max_degree is None else int(max_degree))
         if key in self._nbr_cache:
             return self._nbr_cache[key]
+        from mpgnn_tpu.native import build_ell
+
         src, dst = self.rel_edges(relation)
-        deg = np.bincount(src, minlength=self.num_nodes)
-        d_max = int(deg.max()) if deg.size and len(src) else 1
+        d_max = self.rel_max_degree(relation)
         if max_degree is not None:
             d_max = min(d_max, int(max_degree))
         d_max = max(d_max, 1)
-        nbr = np.zeros((self.num_nodes, d_max), dtype=np.int32)
-        mask = np.zeros((self.num_nodes, d_max), dtype=bool)
-        cursor = np.zeros(self.num_nodes, dtype=np.int64)
-        for s, d in zip(src.tolist(), dst.tolist()):
-            c = cursor[s]
-            if c < d_max:
-                nbr[s, c] = d
-                mask[s, c] = True
-                cursor[s] = c + 1
+        nbr, mask, _ = build_ell(src, dst, self.num_nodes, d_max)
         self._nbr_cache[key] = (nbr, mask)
         return nbr, mask
 

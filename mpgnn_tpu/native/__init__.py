@@ -139,7 +139,11 @@ def sort_by_relation(
 def build_ell(
     src: np.ndarray, dst: np.ndarray, num_nodes: int, max_degree: int
 ) -> Tuple[np.ndarray, np.ndarray, int]:
-    """ELL neighbor table for one relation segment; native or numpy."""
+    """ELL neighbor table for one relation segment; native or vectorized
+    numpy — no Python per-edge loop on either path (the round-2 loop took
+    minutes at 10M edges x 237 relations). Keeps the FIRST ``max_degree``
+    neighbors of each source in input (file) order, like the reference's
+    dict append order (create_edge_dictionary, main.py:387-407)."""
     src = np.ascontiguousarray(src, dtype=np.int32)
     dst = np.ascontiguousarray(dst, dtype=np.int32)
     E = len(src)
@@ -147,15 +151,20 @@ def build_ell(
     mask = np.zeros((num_nodes, max_degree), dtype=np.uint8)
     lib = get_lib()
     if lib is None:
-        cursor = np.zeros(num_nodes, dtype=np.int64)
-        md = 0
-        for s, d in zip(src.tolist(), dst.tolist()):
-            c = cursor[s]
-            cursor[s] = c + 1
-            md = max(md, int(cursor[s]))
-            if c < max_degree:
-                nbr[s, c] = d
-                mask[s, c] = 1
+        if E == 0:
+            return nbr, mask.astype(bool), 0
+        deg = np.bincount(src, minlength=num_nodes)
+        md = int(deg.max())
+        # stable sort by source keeps file order within each row; the slot
+        # of an edge is its rank inside its source's run
+        order = np.argsort(src, kind="stable")
+        rs, cs = src[order], dst[order]
+        starts = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(deg, out=starts[1:])
+        slot = np.arange(E, dtype=np.int64) - starts[rs]
+        keep = slot < max_degree
+        nbr[rs[keep], slot[keep]] = cs[keep]
+        mask[rs[keep], slot[keep]] = 1
         return nbr, mask.astype(bool), md
     md = lib.graphio_build_ell(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -169,3 +178,22 @@ def build_ell(
     if md < 0:
         raise ValueError("src index out of range")
     return nbr, mask.astype(bool), int(md)
+
+
+def degrees(src: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Per-node out-degree of one relation segment (int32); native or
+    numpy bincount."""
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    lib = get_lib()
+    if lib is None:
+        return np.bincount(src, minlength=num_nodes).astype(np.int32)
+    deg = np.empty(num_nodes, dtype=np.int32)
+    rc = lib.graphio_degrees(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_longlong(len(src)),
+        ctypes.c_longlong(num_nodes),
+        deg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError("src index out of range")
+    return deg

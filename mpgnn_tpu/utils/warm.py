@@ -95,49 +95,73 @@ class ProgramWarmer:
         from mpgnn_tpu.search import scoring as sc
 
         N = graph.num_nodes
-        for chunk in sc._chunks(list(relations), graph):
-            d_pad = sc._pow2_bucket(
-                max(graph.neighbor_table(int(r))[0].shape[1] for r in chunk)
-            )
+        for mode, pad, chunk in sc._chunks(list(relations), graph):
             self.warm_flat_signature(
-                len(chunk), N, d_pad, cfg.epochs_flat, cfg.lr
+                len(chunk), N, pad, cfg.epochs_flat, cfg.lr, mode=mode
             )
 
     def warm_flat_signature(
-        self, R: int, N: int, D: int, epochs: int, lr: float
+        self, R: int, N: int, D: int, epochs: int, lr: float,
+        mode: str = "ell",
     ) -> None:
+        """``D`` is the degree pad for mode='ell', the edge pad for 'seg'."""
+
         def build_and_call():
             import jax.numpy as jnp
 
-            from mpgnn_tpu.search.scoring import _flat_sweep
+            from mpgnn_tpu.search import scoring as sc
 
-            _flat_sweep(
-                jnp.zeros((R, N), jnp.float32),
-                jnp.zeros((R, N, D), jnp.int32),
-                jnp.zeros((R, N, D), bool),
-                jnp.zeros((R, N), jnp.float32),
-                jnp.zeros((N,), jnp.float32),
-                epochs=epochs, lr=lr,
-            )
+            if mode == "ell":
+                sc._flat_sweep(
+                    jnp.zeros((R, N), jnp.float32),
+                    jnp.zeros((R, N, D), jnp.int32),
+                    jnp.zeros((R, N, D), bool),
+                    jnp.zeros((R, N), jnp.float32),
+                    jnp.zeros((N,), jnp.float32),
+                    epochs=epochs, lr=lr,
+                )
+            else:
+                sc._flat_sweep_seg(
+                    jnp.zeros((R, N), jnp.float32),
+                    jnp.full((R, D), N - 1, jnp.int32),   # src (sorted pad)
+                    jnp.zeros((R, D), jnp.int32),         # dst
+                    jnp.zeros((R, D), bool),              # emask
+                    jnp.zeros((R, N), jnp.float32),
+                    jnp.zeros((N,), jnp.float32),
+                    epochs=epochs, lr=lr,
+                )
 
-        self._submit(("flat", R, N, D, epochs, lr), build_and_call)
+        self._submit(("flat", mode, R, N, D, epochs, lr), build_and_call)
 
     def warm_bag_signature(
         self, R: int, N: int, D: int, B: int, M: int, F: int,
-        epochs: int, lr: float,
+        epochs: int, lr: float, mode: str = "ell",
     ) -> None:
-        """Pre-compile one bag-sweep restart-round signature."""
+        """Pre-compile one bag-sweep restart-round signature.
+        ``D`` is the degree pad for mode='ell', the edge pad for 'seg'."""
 
         def build_and_call():
             import jax.numpy as jnp
 
-            from mpgnn_tpu.search.scoring import _bag_round
+            from mpgnn_tpu.search import scoring as sc
 
-            _bag_round(
+            if mode == "ell":
+                ops = (
+                    jnp.zeros((R, N, D), jnp.int32),    # nbr
+                    jnp.zeros((R, N, D), bool),         # nbr_mask
+                )
+                fn = sc._bag_round
+            else:
+                ops = (
+                    jnp.full((R, D), N - 1, jnp.int32),  # src (sorted pad)
+                    jnp.zeros((R, D), jnp.int32),        # dst
+                    jnp.zeros((R, D), bool),             # emask
+                )
+                fn = sc._bag_round_seg
+            fn(
                 jnp.zeros((R, N), jnp.float32),     # w0
                 jnp.zeros((R, F), jnp.float32),     # u0
-                jnp.zeros((R, N, D), jnp.int32),    # nbr
-                jnp.zeros((R, N, D), bool),         # nbr_mask
+                *ops,
                 jnp.zeros((R, B, M), jnp.int32),    # bags
                 jnp.zeros((R, B, M), bool),         # member_mask
                 jnp.zeros((R, B), jnp.float32),     # bag_labels
@@ -148,7 +172,9 @@ class ProgramWarmer:
                 epochs=epochs, lr=lr,
             )
 
-        self._submit(("bag", R, N, D, B, M, F, epochs, lr), build_and_call)
+        self._submit(
+            ("bag", mode, R, N, D, B, M, F, epochs, lr), build_and_call
+        )
 
     def warm_eval(
         self, graph, paths, split, num_classes, cfg, seed, x_override

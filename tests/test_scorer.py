@@ -132,6 +132,130 @@ def test_flat_sweep_separates_informative_relation():
     assert res[1].loss > res[0].loss * 5
 
 
+def _force_segment(monkeypatch):
+    """Route every relation through the segment scorer path."""
+    from mpgnn_tpu.search import scoring as sc
+
+    monkeypatch.setattr(sc, "_SEG_RATIO", 0)
+
+
+def test_flat_sweep_segment_matches_ell(monkeypatch):
+    """The segment-form flat sweep (hub-degree strategy) is BIT-compatible
+    with the ELL sweep: same init -> same trained weights and losses."""
+    from mpgnn_tpu.search import scoring as sc
+
+    rng = np.random.default_rng(0)
+    N = 300
+    src = rng.integers(0, 150, 600)
+    dst = rng.integers(150, N, 600)
+    rel = rng.integers(0, 3, 600)
+    x = np.ones((N, 2), np.float32)
+    g = HeteroGraph(x, src, dst, rel, num_relations=3)
+    labels = rng.random(N).astype(np.float32)
+
+    assert all(sc._relation_mode(g, r)[0] == "ell" for r in range(3))
+    ref = score_relations_flat(
+        g, [0, 1, 2], labels, None, ScorerConfig(),
+        np.random.default_rng(7),
+    )
+    _force_segment(monkeypatch)
+    assert all(sc._relation_mode(g, r)[0] == "seg" for r in range(3))
+    got = score_relations_flat(
+        g, [0, 1, 2], labels, None, ScorerConfig(),
+        np.random.default_rng(7),
+    )
+    for r in range(3):
+        np.testing.assert_allclose(
+            got[r].loss, ref[r].loss, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            got[r].weights, ref[r].weights, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_bag_sweep_segment_matches_ell(monkeypatch):
+    """Segment-form bag restarts reproduce the ELL path's scores, restart
+    counts, degenerate flags and member predictions exactly."""
+    from mpgnn_tpu.search import scoring as sc
+
+    rng = np.random.default_rng(3)
+    N = 120
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(60, N, 300)
+    rel = rng.integers(0, 2, 300)
+    x = rng.random((N, 3)).astype(np.float32)
+    g = HeteroGraph(x, src, dst, rel, num_relations=2)
+    bags = [[0, 1, 2], [3], [4, 5]]
+    bag_labels = np.array([1.0, 0.0, 1.0])
+    cfg = ScorerConfig(max_restarts=3)
+
+    ref = score_relations_bags(
+        g, [0, 1], bags, bag_labels, cfg, np.random.default_rng(5)
+    )
+    _force_segment(monkeypatch)
+    got = score_relations_bags(
+        g, [0, 1], bags, bag_labels, cfg, np.random.default_rng(5)
+    )
+    for r in (0, 1):
+        np.testing.assert_allclose(got[r].loss, ref[r].loss, rtol=1e-5)
+        assert got[r].degenerate == ref[r].degenerate
+        assert got[r].num_restarts == ref[r].num_restarts
+        np.testing.assert_allclose(
+            got[r].member_pred_max, ref[r].member_pred_max,
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            got[r].member_recorded, ref[r].member_recorded
+        )
+
+
+def test_segment_first_max_tie_break():
+    """Ties resolve to the FIRST occurrence in file order (model.py:85):
+    with equal weights on two destinations of one source, the segment
+    winner must be the earlier edge's destination — and gradient flows to
+    the winner only."""
+    from mpgnn_tpu.search.scoring import _seg_first_max
+
+    # source 0 -> dsts 3 then 2 (file order), equal weights
+    src = jnp.asarray([0, 0], jnp.int32)
+    dst = jnp.asarray([3, 2], jnp.int32)
+    em = jnp.asarray([True, True])
+
+    def pred_fn(w):
+        vals = jnp.where(em, w[dst], -jnp.inf)
+        _, win_e, has = _seg_first_max(vals, src, em, 5)
+        return jnp.where(has, w[dst[win_e]], 0.0)[0]
+
+    w = jnp.asarray([0.0, 0.0, 0.6, 0.6, 0.0])
+    np.testing.assert_allclose(float(pred_fn(w)), 0.6, rtol=1e-6)
+    gr = np.asarray(jax.grad(pred_fn)(w))
+    assert gr[3] == 1.0 and gr[2] == 0.0     # first edge's dst (3) wins
+
+
+def test_hub_relation_routes_to_segment():
+    """A relation with one huge-degree hub must route to the segment path
+    (one hub node would otherwise inflate the whole [N, D] ELL table)."""
+    from mpgnn_tpu.search import scoring as sc
+
+    rng = np.random.default_rng(0)
+    N = 2000
+    hub_e = 1500
+    src = np.concatenate([np.zeros(hub_e, int), rng.integers(0, N, 100)])
+    dst = rng.integers(0, N, hub_e + 100)
+    rel = np.zeros(hub_e + 100, int)
+    g = HeteroGraph(np.ones((N, 2), np.float32), src, dst, rel,
+                    num_relations=1)
+    mode, pad = sc._relation_mode(g, 0)
+    assert mode == "seg"
+    # and the sweep still runs correctly through it
+    labels = rng.random(N).astype(np.float32)
+    res = score_relations_flat(
+        g, [0], labels, None, ScorerConfig(epochs_flat=5),
+        np.random.default_rng(1),
+    )
+    assert np.isfinite(res[0].loss)
+
+
 def test_bag_sweep_runs_and_flags_degenerate():
     g = make_graph()
     bags = [[0], [1]]
