@@ -37,6 +37,20 @@ def main(argv=None):
     fp.add_argument("--relation", type=str, required=True)
     fp.add_argument("--out", type=str, default=None)
 
+    kp = sub.add_parser(
+        "powerlaw",
+        help="power-law KG with a planted metapath (KG-scale stress load)",
+    )
+    kp.add_argument("--num_nodes", type=int, required=True)
+    kp.add_argument("--num_edges", type=int, required=True)
+    kp.add_argument("--num_relations", type=int, default=237)
+    kp.add_argument("--metapath_len", type=int, default=2)
+    kp.add_argument("--alpha", type=float, default=1.2)
+    kp.add_argument("--rel_alpha", type=float, default=1.1)
+    kp.add_argument("--num_heads", type=int, default=None)
+    kp.add_argument("--seed", type=int, default=0)
+    kp.add_argument("--out", type=str, required=True)
+
     args = ap.parse_args(argv)
     if args.cmd == "synthetic":
         from mpgnn_tpu.graph.generate import generate_synthetic_graph
@@ -55,6 +69,26 @@ def main(argv=None):
             + (f" + extra paths {extras}" if extras else "")
             + (f", {len(set(g['labels'].tolist()))} classes"
                if args.multiclass else "")
+        )
+    elif args.cmd == "powerlaw":
+        from mpgnn_tpu.graph.generate import generate_powerlaw_kg
+
+        g = generate_powerlaw_kg(
+            args.num_nodes, args.num_edges, args.num_relations,
+            metapath_len=args.metapath_len, alpha=args.alpha,
+            rel_alpha=args.rel_alpha, num_heads=args.num_heads,
+            seed=args.seed, out_dir=args.out,
+        )
+        import numpy as _np
+
+        deg = _np.bincount(g["src"], minlength=args.num_nodes)
+        print(
+            f"wrote {args.out}: {args.num_nodes} nodes, {len(g['src'])} "
+            f"edges, {args.num_relations} relations, planted metapath "
+            f"(eval order) {g['metapath_relations']}, "
+            f"{len(g['label_nodes'])} labeled "
+            f"({int(g['labels'][g['label_nodes']].sum())} positive), "
+            f"max out-degree {int(deg.max())}"
         )
     else:
         from mpgnn_tpu.graph.fb15k import preprocess_fb15k

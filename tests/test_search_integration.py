@@ -252,3 +252,77 @@ def test_inclusive_gap_cut_recovers_on_hard_grid():
     planted = g["metapath_relations"]
     assert planted not in res_par.discovered      # reference behavior
     assert planted in res_inc.discovered          # fixed behavior
+
+
+def test_powerlaw_kg_generator_properties(tmp_path):
+    """Power-law KG: hub degrees, skewed relation sizes, pattern-consistent
+    labels, FB15K-style labeled subset, and the five reference files."""
+    import os
+
+    from mpgnn_tpu.graph.generate import generate_powerlaw_kg
+
+    out = str(tmp_path / "kg")
+    g = generate_powerlaw_kg(4000, 40000, 30, metapath_len=2, seed=3,
+                             out_dir=out)
+    deg = np.bincount(g["src"], minlength=4000)
+    # power-law endpoints -> a genuine hub far above the mean degree
+    assert deg.max() > 50 * max(deg.mean(), 1e-9)
+    rel_sizes = np.bincount(g["rel"], minlength=30)
+    assert rel_sizes.max() > 4 * np.median(rel_sizes[rel_sizes > 0])
+    # labels are defined by the planted pattern on the FINAL graph:
+    # every labeled-1 node must start the chain, verified independently
+    mp_fwd = g["metapath_relations_path_order"]
+    colors = g["colors"]
+    reach = (colors == (len(mp_fwd)) % 4).astype(int)
+    for i in range(len(mp_fwd) - 1, -1, -1):
+        hit = (g["rel"] == mp_fwd[i]) & (reach[g["dst"]] == 1) \
+            & (colors[g["dst"]] == (i + 1) % 4)
+        nxt = np.zeros(4000, int)
+        nxt[g["src"][hit]] = 1
+        if i > 0:
+            nxt &= (colors == i % 4).astype(int)
+        reach = nxt
+    np.testing.assert_array_equal(reach, g["labels"])
+    # labeled subset: all positives present, plus hard+random negatives
+    ln = g["label_nodes"]
+    assert set(np.nonzero(g["labels"])[0]).issubset(set(ln.tolist()))
+    assert (g["labels"][ln] == 0).sum() > 0
+    for f in ["node.dat", "link.dat", "label.dat", "embedding.dat",
+              "metapath.dat"]:
+        assert os.path.exists(os.path.join(out, f))
+    # label.dat is FB15K-style: only the labeled subset
+    with open(os.path.join(out, "label.dat")) as fh:
+        assert len(fh.read().splitlines()) == len(ln)
+
+
+@pytest.mark.slow
+def test_search_recovers_planted_path_on_powerlaw_kg():
+    """KG-scale structure in miniature: power-law hubs (segment-routed
+    scorer), skewed relations, FB15K-style labeled subset — the search must
+    recover the planted path and classify perfectly with it."""
+    from mpgnn_tpu.graph.generate import generate_powerlaw_kg
+    from mpgnn_tpu.search import scoring as sc
+
+    g = generate_powerlaw_kg(3000, 30000, 20, metapath_len=2, seed=1)
+    planted = list(g["metapath_relations"])
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=20,
+    )
+    # the hub relations must route through the segment scorer path
+    assert any(
+        sc._relation_mode(graph, r)[0] == "seg" for r in range(20)
+    )
+    ln = g["label_nodes"]
+    split = split_nodes(g["labels"][ln], node_idx=ln)
+    cfg = SearchConfig(
+        max_extension_hops=1, bag_gap_inclusive=True,
+        mpgnn=MPGNNConfig(hidden_dim=16, epochs=150),
+    )
+    res = find_metapaths(
+        graph, g["labels"][ln].astype(np.float32), split, 2, cfg,
+        source_nodes=ln, seed=0,
+    )
+    assert planted in [list(p) for p in res.discovered]
+    assert res.metapaths == [planted]
+    assert res.test_f1 >= 0.95
