@@ -272,6 +272,17 @@ def make_csr_aggregate(fwd: CsrBlocking, bwd: CsrBlocking):
     return lambda x: csr_mean_aggregate(x, fwd, bwd)
 
 
+# Batched (per-candidate) final-eval use: the eval program calls
+# ``csr_mean_aggregate`` once per candidate under one jit (train/batch_eval's
+# csr path). A vmapped form is unsupported (scalar-prefetched pallas_call),
+# and a concatenated C-candidate blocking would DUPLICATE the edge arrays of
+# every shared relation C times (~GBs at 10M edges x 30 candidates); the
+# per-candidate calls instead pass the SAME per-relation blocking buffers
+# for every candidate that aggregates that relation — zero extra HBM, and
+# each call already carries a few-thousand-tile grid, so per-call overhead
+# is noise. Reference surface: the final-eval fan-out, main.py:1444-1459.
+
+
 def ref_mean(x, src, dst, num_nodes):
     """XLA segment reference for tests."""
     tot = jax.ops.segment_sum(x[dst], src, num_segments=num_nodes)

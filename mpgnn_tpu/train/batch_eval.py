@@ -53,24 +53,71 @@ def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str):
             sweep_devices())
 
 
+def resolve_eval_backend(backend, cfg, graph, paths) -> str:
+    """Resolve the batched-eval aggregation backend for a concrete workload.
+
+    'auto' mirrors loops.resolve_backend's edge-count cutover: past ~1M
+    edges in any involved relation XLA's batched scatter collapses (0.8 GB/s,
+    benchmarks/micro_agg.py) and the per-candidate Pallas sorted-CSR calls
+    win; below it the vmapped segment batch is fine (and measured faster
+    than grouped dense GEMMs at shipped scale, 13.0s vs 16.6s). The csr path
+    has no candidate-axis sharding, so an active sweep mesh keeps segment."""
+    backend = backend or (cfg.backend if cfg else "segment")
+    if backend != "auto":
+        return backend
+    if sweep_devices() > 1:
+        return "segment"
+    max_e = max(
+        (int(graph.rel_counts[int(r)]) for p in paths for r in p), default=0
+    )
+    return "csr" if max_e >= 1_000_000 else "segment"
+
+
 def eval_aot_keys(graph, paths, split, num_classes, cfg, seed):
     """AOT-store keys for every length group of ``paths`` (host-side only).
 
     Used by the warmer to register in-flight events SYNCHRONOUSLY before
     handing the compile to a pool thread, so a real call that races the warm
-    always finds the event (never duplicates the remote compile)."""
+    always finds the event (never duplicates the remote compile). Keys match
+    whichever backend ``resolve_eval_backend`` will route the real call to."""
     cfg = cfg or MPGNNConfig()
+    backend = resolve_eval_backend(None, cfg, graph, paths)
     base_key = make_dropout_key(
         jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
     )
     by_len: Dict[int, List[List[int]]] = {}
     for p in paths:
         by_len.setdefault(len(p), []).append(list(p))
+    if backend == "csr":
+        return [
+            _aot_key_csr(graph, pad_batch_list(group), split, num_classes,
+                         cfg, str(base_key.dtype))
+            for _, group in sorted(by_len.items())
+        ]
     return [
         _aot_key(graph, pad_batch_list(group), split, num_classes, cfg,
                  str(base_key.dtype))
         for _, group in sorted(by_len.items())
     ]
+
+
+def _aot_key_csr(graph, group, split, num_classes, cfg, base_key_dtype: str):
+    """Compile signature of one length group's csr batched-eval program.
+
+    The csr program's avals depend on the per-candidate blocking SHAPES,
+    which are data-dependent (per-block tile padding); within one process
+    the same (graph, group) rebuilds identical blockings, so keying on the
+    group's relation ids + the graph identity-stable stats is exact enough —
+    a genuine aval mismatch at call time falls back to a fresh compile."""
+    L, C = len(group[0]), len(group)
+    sig = (L, graph.num_nodes, cfg.epochs, cfg.lr, cfg.weight_decay,
+           cfg.dropout, num_classes)
+    rels = tuple(tuple(int(r) for r in p) for p in group)
+    rel_sizes = tuple(
+        (r, int(graph.rel_counts[r])) for r in sorted({x for p in rels for x in p})
+    )
+    return ("csr", sig, C, rels, rel_sizes, graph.feat_dim, cfg.hidden_dim,
+            base_key_dtype, len(split.train_idx), len(split.val_idx))
 
 
 def _stack_hop_edges(graph: HeteroGraph, paths: List[List[int]], pad: int = 128):
@@ -174,32 +221,37 @@ def evaluate_candidates(
     in a background thread the moment that group's candidate set is final
     (its hop completed)."""
     backend_explicit = backend is not None
-    backend = backend or (cfg.backend if cfg else "segment")
-    if backend != "dense" and backend != "segment":
+    backend = resolve_eval_backend(backend, cfg, graph, paths)
+    if backend not in ("dense", "segment", "csr"):
         # measured (v5e, 30 candidates x 1000 epochs, shipped-scale graph):
         # vmapped segment 13.0s vs grouped dense 16.6s — with the hop-0
         # aggregation cached, the batched scatters beat the grouped GEMMs'
-        # extra gather/concat traffic, so 'auto' resolves to segment HERE
-        # (for single-model training dense wins; see loops.resolve_backend).
-        # Single-model-only backends (ell/ell2/pallas/onehot) have no
-        # batched variant: an EXPLICIT request for one is an error (it
-        # would silently benchmark a different backend than asked); the
-        # same value merely flowing in via cfg.backend (which governs the
-        # single-model paths) falls back to segment with a loud warning.
-        if backend != "auto":
-            import logging
+        # extra gather/concat traffic, so 'auto' resolves to segment at
+        # shipped scale and to csr past ~1M edges/relation (see
+        # resolve_eval_backend). Single-model-only backends
+        # (ell/ell2/pallas/onehot) have no batched variant: an EXPLICIT
+        # request for one is an error (it would silently benchmark a
+        # different backend than asked); the same value merely flowing in
+        # via cfg.backend (which governs the single-model paths) falls back
+        # to segment with a loud warning.
+        import logging
 
-            if backend_explicit:
-                raise ValueError(
-                    f"batched candidate evaluation supports backends "
-                    f"'segment'/'dense'/'auto', not {backend!r} (it is a "
-                    f"single-model backend; see train_mpgnn)"
-                )
-            logging.getLogger("mpgnn_tpu.batch_eval").warning(
-                "cfg.backend=%r has no batched-eval variant; using the "
-                "vmapped segment batch for candidate evaluation", backend,
+        if backend_explicit:
+            raise ValueError(
+                f"batched candidate evaluation supports backends "
+                f"'segment'/'dense'/'csr'/'auto', not {backend!r} (it is a "
+                f"single-model backend; see train_mpgnn)"
             )
+        logging.getLogger("mpgnn_tpu.batch_eval").warning(
+            "cfg.backend=%r has no batched-eval variant; using the "
+            "vmapped segment batch for candidate evaluation", backend,
+        )
         backend = "segment"
+    if backend == "csr":
+        return _evaluate_candidates_csr(
+            graph, paths, split, num_classes, cfg, seed, x_override,
+            compile_only,
+        )
     if backend == "dense":
         return _evaluate_candidates_dense(
             graph, paths, split, num_classes, cfg, seed, x_override,
@@ -426,6 +478,186 @@ def _eval_program(
         )(params0, src, dst, mask, drop_keys)
 
     return run
+
+
+@functools.lru_cache(maxsize=64)
+def _eval_program_csr(
+    L: int, C: int, epochs: int, lr: float, weight_decay: float,
+    dropout: float, num_classes: int,
+):
+    """One shared jitted csr batched-eval program per static signature.
+
+    Candidates train simultaneously inside ONE epoch scan whose body holds
+    every candidate's step; each candidate's per-hop aggregation is a
+    ``csr_mean_aggregate`` call against that hop relation's blocking
+    (scalar-prefetched Pallas kernels cannot be vmapped, and each call
+    already carries a multi-thousand-tile grid, so the per-candidate unroll
+    costs launch-overhead noise). Candidates that share a relation pass the
+    SAME blocking buffers — no HBM duplication. Blockings, params, keys and
+    split arrays all enter as jit ARGUMENTS (no embedded constants)."""
+    from mpgnn_tpu.config import MPGNNConfig as _Cfg
+    from mpgnn_tpu.ops.pallas_csr import csr_mean_aggregate
+
+    tx = make_optimizer(_Cfg(lr=lr, weight_decay=weight_decay))
+
+    @jax.jit
+    def run(params_list, hop_blks, drop_keys, x,
+            train_idx, train_y, val_idx, val_y):
+        def forward(p, c, rng, train, agg0):
+            h = x
+            for j in range(L):
+                conv = p.convs[0][j]
+                # hop 0 aggregates the constant input features: cached
+                # outside the epoch scan (epoch-invariant), like the
+                # segment path's agg0
+                if j == 0:
+                    agg = agg0
+                else:
+                    fwd, bwd = hop_blks[j][c]
+                    agg = csr_mean_aggregate(h, fwd, bwd)
+                h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
+                if train and dropout > 0:
+                    k = jax.random.fold_in(rng, j)
+                    keep = jax.random.bernoulli(k, 1 - dropout, h.shape)
+                    h = jnp.where(keep, h / (1 - dropout), 0.0)
+            h = jax.nn.relu(h @ p.fc1.w + p.fc1.b)
+            h = h @ p.fc2.w + p.fc2.b
+            return jax.nn.log_softmax(h, axis=1)
+
+        agg0s = [
+            csr_mean_aggregate(x, *hop_blks[0][c]) for c in range(C)
+        ]
+
+        def loss_fn(p, c, rng, agg0):
+            logp = forward(p, c, rng, True, agg0)[train_idx]
+            return -jnp.mean(
+                jnp.take_along_axis(logp, train_y[:, None], axis=1)
+            )
+
+        def epoch(carry, e):
+            nxt = []
+            for c in range(C):
+                p, st = carry[c]
+                rng = jax.random.fold_in(drop_keys[c], e)
+                _, g = jax.value_and_grad(loss_fn)(p, c, rng, agg0s[c])
+                upd, st = tx.update(g, st, p)
+                nxt.append((optax.apply_updates(p, upd), st))
+            return tuple(nxt), 0.0
+
+        carry0 = tuple((p, tx.init(p)) for p in params_list)
+        carry, _ = jax.lax.scan(epoch, carry0, jnp.arange(epochs))
+        f1s = []
+        for c in range(C):
+            p, _ = carry[c]
+            outp = forward(p, c, drop_keys[c], False, agg0s[c])
+            preds = jnp.argmax(outp, axis=1)
+            f1s.append(macro_f1(preds[val_idx], val_y, num_classes))
+        return jnp.stack(f1s)
+
+    return run
+
+
+def _evaluate_candidates_csr(
+    graph, paths, split, num_classes, cfg, seed, x_override,
+    compile_only=False,
+):
+    """Pallas sorted-CSR batched candidate evaluation (see
+    evaluate_candidates): the final-eval fan-out's scatter-free backend.
+    At north-star scale (>=1M edges/relation) the vmapped segment batch
+    runs on XLA's serialized scatter-add; this path replaces every hop's
+    aggregation — forward and backward — with the csr kernel."""
+    from mpgnn_tpu.ops.pallas_csr import build_csr_blocking
+
+    cfg = cfg or MPGNNConfig()
+    paths = [list(p) for p in paths]
+    x = jnp.asarray(x_override if x_override is not None else graph.x)
+    train_idx = jnp.asarray(split.train_idx)
+    train_y = jnp.asarray(split.train_y)
+    val_idx = jnp.asarray(split.val_idx)
+    val_y = jnp.asarray(split.val_y)
+
+    dense_cache: dict = getattr(graph, "_dense_cache", None) or {}
+    graph._dense_cache = dense_cache
+
+    def blocking(rel: int):
+        key = ("csr", int(rel))
+        if key not in dense_cache:
+            s, d = graph.rel_edges(int(rel))
+            dense_cache[key] = build_csr_blocking(s, d, graph.num_nodes)
+        return dense_cache[key]
+
+    by_len: Dict[int, List[List[int]]] = {}
+    for p in paths:
+        by_len.setdefault(len(p), []).append(p)
+
+    base_key = make_dropout_key(
+        jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
+    )
+    out: Dict[str, float] = {}
+    for L, group in sorted(by_len.items()):
+        group = pad_batch_list(group)
+        C = len(group)
+        hop_blks = tuple(
+            tuple(blocking(p[j]) for p in group) for j in range(L)
+        )
+        keys = jax.random.split(jax.random.PRNGKey(seed), C)
+        params_list = tuple(
+            init_mpgnn(keys[c], graph.feat_dim, cfg.hidden_dim,
+                       num_classes, [[0] * L])
+            for c in range(C)
+        )
+        drop_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            base_key, jnp.arange(C)
+        )
+        run = _eval_program_csr(
+            L, C, cfg.epochs, cfg.lr, cfg.weight_decay, cfg.dropout,
+            num_classes,
+        )
+        args = (params_list, hop_blks, drop_keys, x,
+                train_idx, train_y, val_idx, val_y)
+        aot_key = _aot_key_csr(graph, group, split, num_classes, cfg,
+                               str(base_key.dtype))
+        if compile_only:
+            ev = _aot_inflight.setdefault(aot_key, threading.Event())
+            try:
+                _aot_store[aot_key] = run.lower(
+                    *jax.tree_util.tree_map(
+                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        if hasattr(a, "shape") else a,
+                        args,
+                    )
+                ).compile()
+                while len(_aot_store) > _AOT_STORE_CAP:
+                    victim = next(iter(_aot_store))
+                    _aot_store.pop(victim, None)
+                    _aot_inflight.pop(victim, None)
+            finally:
+                ev.set()
+            continue
+        ev = _aot_inflight.get(aot_key)
+        if ev is not None and not ev.is_set():
+            ev.wait(timeout=900)
+        compiled = _aot_store.get(aot_key)
+        if compiled is not None:
+            try:
+                val_f1 = compiled(*args)
+                _aot_store.pop(aot_key, None)
+                _aot_inflight.pop(aot_key, None)
+            except (TypeError, ValueError) as e:
+                import logging
+
+                logging.getLogger("mpgnn_tpu.batch_eval").warning(
+                    "AOT-warmed csr eval executable rejected its arguments "
+                    "(%s); recompiling this group", e,
+                )
+                _aot_store.pop(aot_key, None)
+                _aot_inflight.pop(aot_key, None)
+                val_f1 = run(*args)
+        else:
+            val_f1 = run(*args)
+        for p, f in zip(group, np.asarray(val_f1)):
+            out[str(p)] = float(f)
+    return out
 
 
 def _evaluate_candidates_dense(

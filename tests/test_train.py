@@ -204,6 +204,87 @@ def test_batched_eval_dense_matches_segment(planted):
         assert abs(a[str(p)] - b[str(p)]) < 0.08, (p, a[str(p)], b[str(p)])
 
 
+def test_batched_eval_csr_matches_serial(planted):
+    """The csr batched eval (the scatter-free final-eval backend) trains
+    each candidate identically to a serial csr train_mpgnn: same init keys,
+    same dropout streams, same kernel — results match to float tolerance."""
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=60, hidden_dim=16, backend="csr")
+    paths = [[1, 0], [2, 3]]
+    batch = evaluate_candidates(
+        graph, paths, split, 2, cfg, seed=3, backend="csr"
+    )
+    for p in paths:
+        serial = train_mpgnn(graph, [p], split, 2, cfg, seed=3).val_f1
+        np.testing.assert_allclose(batch[str(p)], serial, atol=1e-5)
+
+
+def test_batched_eval_csr_matches_segment(planted):
+    """csr vs segment batched eval: same training semantics, different
+    kernels — small tolerance for the csr kernel's split-bf16 MXU math."""
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=60, hidden_dim=16)
+    paths = [[1, 0], [0, 1], [1]]
+    a = evaluate_candidates(graph, paths, split, 2, cfg, seed=3)
+    b = evaluate_candidates(
+        graph, paths, split, 2, cfg, seed=3, backend="csr"
+    )
+    for p in paths:
+        assert abs(a[str(p)] - b[str(p)]) < 0.08, (p, a[str(p)], b[str(p)])
+
+
+def test_resolve_eval_backend(planted):
+    """'auto' batched eval routes to csr past the 1M-edge cutover and to
+    segment below it; explicit backends pass through."""
+    from mpgnn_tpu.train.batch_eval import resolve_eval_backend
+
+    graph, g = planted
+    cfg = MPGNNConfig()
+    paths = [[1, 0]]
+    assert resolve_eval_backend("segment", cfg, graph, paths) == "segment"
+    assert resolve_eval_backend("auto", cfg, graph, paths) == "segment"
+    saved = graph.rel_counts.copy()
+    try:
+        graph.rel_counts[0] = 2_000_000
+        assert resolve_eval_backend("auto", cfg, graph, paths) == "csr"
+    finally:
+        graph.rel_counts[:] = saved
+
+
+def test_evaluate_candidates_csr_compile_only(planted):
+    """compile_only on the csr path stores an AOT executable the real call
+    consumes (same _aot_store machinery as the segment path)."""
+    from mpgnn_tpu.train import batch_eval
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=10, hidden_dim=8)
+    paths = [[1, 0], [2, 3]]
+    warm = evaluate_candidates(
+        graph, paths, split, 2, cfg, seed=5, backend="csr",
+        compile_only=True,
+    )
+    assert warm == {}
+    key = batch_eval._aot_key_csr(
+        graph, paths, split, 2, cfg,
+        str(batch_eval.make_dropout_key(
+            __import__("jax").random.PRNGKey(6), 6, cfg.dropout_rng).dtype),
+    )
+    assert key in batch_eval._aot_store
+    res = evaluate_candidates(
+        graph, paths, split, 2, cfg, seed=5, backend="csr"
+    )
+    assert key not in batch_eval._aot_store  # consumed
+    assert set(res) == {str(p) for p in paths}
+
+
 def test_balanced_undersample():
     from mpgnn_tpu.utils.misc import balanced_undersample
 
