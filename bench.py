@@ -300,6 +300,103 @@ def bench_agg_roofline(n=500_000, e=10_000_000, f=16, iters=20):
     return out
 
 
+def bench_train_at_scale(n=200_000, avg_deg=50, epochs=100, hidden=HIDDEN):
+    """End-to-end TRAINING throughput at the BASELINE north-star scale
+    (200k nodes / 10M edges heterogeneous, VERDICT r2 item 5): the full
+    2-hop MPGNN epoch scan (forward + backward + Adam + dropout + hop-0
+    caching) under backend='auto' — which resolves to the Pallas sorted-CSR
+    kernel past 1M edges/relation — vs the round-1 segment path."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mpgnn_tpu.config import MPGNNConfig
+    from mpgnn_tpu.graph.hetero import HeteroGraph
+    from mpgnn_tpu.graph.io import split_nodes
+    from mpgnn_tpu.models.mpgnn import (
+        init_mpgnn,
+        mpgnn_forward,
+        precompute_first_hop,
+    )
+    from mpgnn_tpu.train.loops import (
+        build_hop_arrays,
+        make_dropout_key,
+        make_optimizer,
+        resolve_backend,
+        retag_hop_ops,
+        split_hop_ops,
+    )
+
+    rng = np.random.default_rng(0)
+    e = n * avg_deg
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, 4, e)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    labels = rng.integers(0, 2, n)
+    graph = HeteroGraph(x, src, dst, rel, num_relations=4)
+    split = split_nodes(labels)
+    metapath = [0, 1]
+    cfg = MPGNNConfig(epochs=epochs, hidden_dim=hidden)
+    edges_per_epoch = sum(int(graph.rel_counts[r]) for r in metapath)
+    xj = jnp.asarray(x)
+    train_idx = jnp.asarray(split.train_idx)
+    train_y = jnp.asarray(split.train_y)
+    params0 = init_mpgnn(jax.random.PRNGKey(0), 16, hidden, 2, [metapath])
+    tx = make_optimizer(cfg)
+    key = make_dropout_key(jax.random.PRNGKey(1), 1, "auto")
+
+    auto = resolve_backend("auto", graph, [metapath])
+    out = {"n": n, "e": e, "hidden": hidden, "epochs": epochs,
+           "auto_resolves_to": auto}
+    for backend in (auto, "segment"):
+        t0 = time.time()
+        hop_ops = build_hop_arrays(graph, [metapath], backend=backend)
+        kinds, data = split_hop_ops(hop_ops)
+        log(f"[train-at-scale/{backend}] hop-op build {time.time()-t0:.1f}s")
+
+        def loss_fn(p, rng_, ops, fa):
+            o = mpgnn_forward(
+                p, xj, ops, dropout_rate=cfg.dropout, dropout_rng=rng_,
+                train=True, first_hop_agg=fa,
+            )
+            logp = o[train_idx]
+            return -jnp.mean(jnp.take_along_axis(logp, train_y[:, None], 1))
+
+        @jax.jit
+        def run(p, d):
+            ops = retag_hop_ops(kinds, d)
+            fa = precompute_first_hop(xj, ops, jnp.float32)
+
+            def epoch(carry, ei):
+                p, st = carry
+                loss, g = jax.value_and_grad(loss_fn)(
+                    p, jax.random.fold_in(key, ei), ops, fa
+                )
+                upd, st = tx.update(g, st, p)
+                return (optax.apply_updates(p, upd), st), loss
+
+            (p, _), losses = jax.lax.scan(
+                epoch, (p, tx.init(p)), jnp.arange(cfg.epochs)
+            )
+            return losses[-1]
+
+        t0 = time.time()
+        l = float(run(params0, data))
+        log(f"[train-at-scale/{backend}] compile+first: {time.time()-t0:.1f}s "
+            f"(loss {l:.4f})")
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            l = float(run(params0, data))
+            wall = min(wall, time.time() - t0)
+        eps = epochs * edges_per_epoch / wall
+        out[backend] = {"edges_per_s": round(eps, 1), "wall_s": round(wall, 2)}
+        log(f"[train-at-scale/{backend}] {epochs} epochs in {wall:.2f}s -> "
+            f"{eps/1e6:.1f}M edges/s")
+    return out
+
+
 def main():
     from mpgnn_tpu.utils.prof import enable_compilation_cache
 
@@ -313,6 +410,11 @@ def main():
     except Exception as exc:  # roofline section is additive, never fatal
         log(f"[agg-roofline] failed: {exc!r}")
         agg = {"error": repr(exc)}
+    try:
+        scale = bench_train_at_scale()
+    except Exception as exc:  # additive, never fatal
+        log(f"[train-at-scale] failed: {exc!r}")
+        scale = {"error": repr(exc)}
     print(
         json.dumps(
             {
@@ -321,6 +423,7 @@ def main():
                 "unit": "edges/s",
                 "vs_baseline": round(eps_jax / eps_torch, 2),
                 "agg_roofline_10m_edges": agg,
+                "train_at_scale_10m_edges": scale,
             }
         )
     )

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--out", type=str, default=None,
                     help="write the results JSON to this path too")
+    ap.add_argument("--agg_ms_1chip", type=float, default=None,
+                    help="measured single-chip aggregation ms at this "
+                         "(N, E, F) from benchmarks/bench_csr.py on the "
+                         "real device; enables the projected-ICI table")
     args = ap.parse_args()
 
     # This image's sitecustomize imports jax at interpreter start, so env
@@ -89,6 +93,7 @@ def main():
 
     results = {}
     halo_results = {}
+    comm_model = {}
     base = halo_base = None
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
     for n in counts:
@@ -123,6 +128,28 @@ def main():
             f"(efficiency {eps/(base*n)*100:.0f}%)",
             file=sys.stderr, flush=True,
         )
+
+        # --- communication-volume accounting (VERDICT r2 item 8): bytes a
+        # device puts on ICI per aggregation call, by mode. The relation
+        # sweep ships ZERO bytes (embarrassingly parallel, data resident);
+        # edge partitioning psums a full [N, F] partial (ring all-reduce:
+        # 2*(n-1)/n of the array per device); node sharding ships only the
+        # halo (plan accounting, padding included).
+        from mpgnn_tpu.parallel.halo import halo_volume
+
+        vol = {
+            "sweep_bytes_per_dev": 0,
+            "edge_partition_bytes_per_dev": int(
+                2 * (n - 1) / n * N * F * 4
+            ) if n > 1 else 0,
+        }
+        if n > 1:
+            for exch in ("a2a", "ppermute"):
+                p_ = build_halo_plan(src, dst, N, n, exchange=exch)
+                v = halo_volume(p_, F)
+                vol[f"halo_{exch}_bytes_per_dev"] = v["wire_bytes"] // n
+                vol[f"halo_{exch}_utilization"] = round(v["utilization"], 3)
+        comm_model[n] = vol
 
         # --- node sharding with halo all_to_all (features sharded)
         if n > 1:
@@ -231,6 +258,38 @@ def main():
                    base_from_n=2)
         sweep_step("halo-train", make_halo, halo_train_results)
 
+    # ---- projected real-ICI efficiency (argued, not hoped: measured
+    # single-chip aggregation time + the exact comm volumes above).
+    # v5e ICI: 2D torus, ~45 GB/s one-way per link (public scaling-book
+    # figure, jax-ml.github.io/scaling-book); a ring collective on a small
+    # slice is bounded by ONE link's bandwidth per direction — the
+    # conservative figure used here. --agg_ms_1chip feeds the measured
+    # single-chip aggregation time at the same (N, E, F) from
+    # benchmarks/bench_csr.py on the real device.
+    ici_gbs = 45.0
+    projection = {}
+    if args.agg_ms_1chip:
+        for n in counts:
+            if n == 1:
+                continue
+            compute_s = args.agg_ms_1chip / 1e3 / n
+            proj = {}
+            for mode in ("edge_partition", "halo_a2a", "halo_ppermute"):
+                b = comm_model[n].get(f"{mode}_bytes_per_dev")
+                if b is None:
+                    continue
+                comm_s = b / (ici_gbs * 1e9)
+                proj[mode] = {
+                    "comm_ms": round(comm_s * 1e3, 3),
+                    "eff_no_overlap": round(
+                        compute_s / (compute_s + comm_s), 3
+                    ),
+                    "eff_full_overlap": round(
+                        compute_s / max(compute_s, comm_s), 3
+                    ),
+                }
+            projection[n] = proj
+
     payload = {
         "metric": "multi_device_agg_scaling",
         "platform": devices[0].platform,
@@ -240,6 +299,12 @@ def main():
         "halo_sharded": halo_results,
         "edge_tp_train_step": train_results,
         "halo_train_step": halo_train_results,
+        "comm_bytes_per_aggregation": comm_model,
+        "projected_real_ici": {
+            "ici_gbs_per_link": ici_gbs,
+            "agg_ms_1chip": args.agg_ms_1chip,
+            "per_devices": projection,
+        },
     }
     if args.out:
         with open(args.out, "w") as f:

@@ -129,8 +129,16 @@ def main():
         passes = 2 if "bwd" in k else 1
         width = 2 if "bf16" in k else 4
         gbs = passes * e * f * width / t / 1e9
+        # achievable floor: the row gather is ISSUE-RATE bound on this chip
+        # (benchmarks/GATHER_ROOFLINE.json: ~201 Mrows/s at >=256B rows,
+        # 148 Mrows/s at 64B; the kernel pads sub-256B rows up, so the
+        # padded-row rate applies), over the PADDED edge count EP and one
+        # gather per pass
+        ep = fwd.gidx.shape[0]
+        floor_s = passes * ep / 201e6
         print(f"{k:18s} {t*1e3:9.2f} ms   {e*passes/t/1e6:9.1f} M edge-visits/s"
-              f"   {gbs:7.1f} GB/s ({100*gbs/HBM_GBS:.1f}% HBM)")
+              f"   {gbs:7.1f} GB/s ({100*gbs/HBM_GBS:.1f}% HBM peak, "
+              f"{100*floor_s/t:.0f}% of measured gather roofline)")
 
 
 if __name__ == "__main__":

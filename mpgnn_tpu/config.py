@@ -73,6 +73,11 @@ class MPGNNConfig:
     # when both are set (the reference ctor's if/elif). None = full weights.
     num_bases: Optional[int] = None
     num_blocks: Optional[int] = None
+    # Halo (node-sharded) collective: "a2a" = one all_to_all with uniform
+    # per-pair buffers (lowest latency); "ppermute" = P-1 ring rounds padded
+    # to PER-ROUND maxima — ships far fewer ICI bytes when halo sizes are
+    # skewed (power-law graphs). parallel/halo.py::build_halo_plan.
+    halo_exchange: str = "a2a"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -225,3 +225,112 @@ class PartitionedHeteroGraph:
             f"edges={len(self.edge_src)}, parts={self.num_parts}, "
             f"cut={self.edge_cut_fraction():.2%})"
         )
+
+
+def locality_permutation(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int
+) -> np.ndarray:
+    """[N] old node ids in a BFS-clustered order (``old_of_new``).
+
+    Contiguous-id block sharding (parallel/halo.py) inherits whatever
+    locality the file's node numbering happens to have; renumbering nodes by
+    BFS discovery order clusters each neighborhood into a contiguous id
+    range, so block partitions cut fewer edges and halos shrink. Seeds are
+    taken in decreasing-degree order (hubs anchor their communities);
+    traversal is frontier-vectorized (no per-node Python loop on the BFS
+    itself). O(E) total.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    # undirected CSR of the union graph
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    order = np.argsort(u, kind="stable")
+    u, v = u[order], v[order]
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    np.cumsum(np.bincount(u, minlength=num_nodes), out=indptr[1:])
+    deg = indptr[1:] - indptr[:-1]
+
+    visited = np.zeros(num_nodes, bool)
+    out = np.empty(num_nodes, np.int64)
+    pos = 0
+    seeds = np.argsort(-deg, kind="stable")
+    si = 0
+    while pos < num_nodes:
+        while si < num_nodes and visited[seeds[si]]:
+            si += 1
+        if si >= num_nodes:
+            break
+        s0 = int(seeds[si])
+        visited[s0] = True
+        out[pos] = s0
+        pos += 1
+        frontier = np.array([s0], np.int64)
+        while frontier.size:
+            starts, lens = indptr[frontier], deg[frontier]
+            total = int(lens.sum())
+            if total == 0:
+                break
+            # vectorized flat-range concat: index of every frontier edge
+            base = np.repeat(starts - np.concatenate(
+                ([0], np.cumsum(lens)[:-1])
+            ), lens)
+            nbrs = v[base + np.arange(total)]
+            nbrs = np.unique(nbrs)
+            fresh = nbrs[~visited[nbrs]]
+            if fresh.size == 0:
+                break
+            visited[fresh] = True
+            out[pos: pos + fresh.size] = fresh
+            pos += fresh.size
+            frontier = fresh
+    assert pos == num_nodes
+    return out
+
+
+def _permute_labels(labels, old_of_new, num_nodes):
+    labels = np.asarray(labels)
+    if len(labels) != num_nodes:
+        raise ValueError(
+            "locality_reorder needs per-node labels (len == num_nodes); "
+            "labeled-subset tables would keep stale ids"
+        )
+    return labels[old_of_new]
+
+
+def locality_reorder(graph: HeteroGraph, split=None):
+    """Relabel a graph's nodes by BFS-clustered order for halo sharding.
+
+    Returns ``(graph2, split2, old_of_new)``: a NEW HeteroGraph whose node
+    ids cluster neighborhoods (features/labels/edges relabeled; relation
+    structure and per-relation edge multisets unchanged — aggregation is
+    permutation-invariant) and the split with its indices remapped. Metrics
+    computed on graph2/split2 equal the originals; only id-addressed
+    artifacts (per-node predictions) need ``old_of_new`` to map back."""
+    from mpgnn_tpu.graph.hetero import NodeSplit
+
+    old_of_new = locality_permutation(
+        graph.edge_src, graph.edge_dst, graph.num_nodes
+    )
+    new_of_old = np.empty_like(old_of_new)
+    new_of_old[old_of_new] = np.arange(graph.num_nodes, dtype=np.int64)
+    graph2 = HeteroGraph(
+        graph.x[old_of_new],
+        new_of_old[graph.edge_src],
+        new_of_old[graph.edge_dst],
+        graph.edge_type,
+        num_relations=graph.num_relations,
+        labels=None if graph.labels is None else _permute_labels(
+            graph.labels, old_of_new, graph.num_nodes
+        ),
+    )
+    split2 = None
+    if split is not None:
+        remap = lambda a: new_of_old[np.asarray(a, np.int64)]  # noqa: E731
+        split2 = NodeSplit(
+            node_idx=remap(split.node_idx),
+            train_idx=remap(split.train_idx), train_y=split.train_y,
+            val_idx=remap(split.val_idx), val_y=split.val_y,
+            test_idx=remap(split.test_idx), test_y=split.test_y,
+        )
+    return graph2, split2, old_of_new

@@ -164,12 +164,15 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
             halo_sharded_mean_aggregate,
         )
 
-        _, mesh, axis, block, e_src, e_slot, e_mask, s_idx, s_mask = op
+        (_, mesh, axis, block, exchange, round_sizes,
+         e_src, e_slot, e_mask, s_idx, s_mask) = op
         plan = HaloPlan(
             num_shards=mesh.shape[axis], block=block,
-            halo_max=s_idx.shape[2], edge_max=e_src.shape[1],
+            halo_max=s_idx.shape[2] if exchange == "a2a" else 0,
+            edge_max=e_src.shape[1],
             edge_src_local=e_src, edge_dst_slot=e_slot, edge_mask=e_mask,
             send_idx=s_idx, send_mask=s_mask,
+            exchange=exchange, round_sizes=round_sizes,
         )
         return halo_sharded_mean_aggregate(mesh, h, plan, axis)
     raise ValueError(f"unknown hop op {kind!r}")

@@ -237,10 +237,31 @@ def _segment_apply(blk: CsrBlocking, y: jax.Array) -> jax.Array:
     return out[: blk.num_rows]
 
 
+def _gather_cols(f: int, dtype) -> int:
+    """Column count the row gather should run at.
+
+    Measured on v5e (benchmarks/GATHER_ROOFLINE.json): XLA's random row
+    gather is ISSUE-RATE bound — ~201 Mrows/s for >=256-byte rows at any
+    index pattern — but only 148 Mrows/s at 64-byte rows and a pathological
+    25-43 Mrows/s at exactly 128-byte rows. Zero-padding narrow feature
+    rows up to 256 bytes therefore makes the gather FASTER in absolute
+    wall time (1.36x at 64B, ~4.7x at 128B) even though it reads 2-4x the
+    bytes; the one-hot MXU reduction is lane-width-insensitive below 128
+    lanes, so the kernel cost is unchanged."""
+    per = jnp.dtype(dtype).itemsize
+    return max(f, -(-256 // per))
+
+
 def _gather_weighted(blk: CsrBlocking, x: jax.Array) -> jax.Array:
     """y[e] = w[e] * x[gidx[e]] — XLA fuses the scale into the gather's
     output stream; padded edges have w = 0, so their gathered garbage
-    vanishes here."""
+    vanishes here. Rows narrower than 256 bytes are zero-padded BEFORE the
+    gather (see _gather_cols); the caller's kernel consumes the padded
+    width and slices the output columns back."""
+    f = x.shape[-1]
+    fp = _gather_cols(f, x.dtype)
+    if fp != f:
+        x = jnp.pad(x, ((0, 0), (0, fp - f)))
     return x[blk.gidx] * blk.weight.astype(x.dtype)[:, None]
 
 
@@ -252,16 +273,21 @@ def csr_mean_aggregate(x: jax.Array, fwd: CsrBlocking, bwd: CsrBlocking):
     (the VJP runs the identical kernel on the destination-sorted blocking) —
     no scatter anywhere. The blockings enter as jit ARGUMENTS, not closure
     constants (a 10M-edge blocking is ~120 MB; embedded constants overflowed
-    the remote-compile payload once already, docs/DESIGN.md §3)."""
-    return _segment_apply(fwd, _gather_weighted(fwd, x))
+    the remote-compile payload once already, docs/DESIGN.md §3). Feature
+    rows narrower than 256 bytes run the gather AND the kernel zero-padded
+    to 256 B (issue-rate-bound gather: wider rows are faster in wall time,
+    _gather_cols) and slice back at the end."""
+    return _segment_apply(fwd, _gather_weighted(fwd, x))[:, : x.shape[-1]]
 
 
 def _csr_fwd(x, fwd, bwd):
-    return _segment_apply(fwd, _gather_weighted(fwd, x)), bwd
+    out = _segment_apply(fwd, _gather_weighted(fwd, x))[:, : x.shape[-1]]
+    return out, bwd
 
 
 def _csr_bwd(bwd, g):
-    return _segment_apply(bwd, _gather_weighted(bwd, g)), None, None
+    out = _segment_apply(bwd, _gather_weighted(bwd, g))[:, : g.shape[-1]]
+    return out, None, None
 
 
 csr_mean_aggregate.defvjp(_csr_fwd, _csr_bwd)

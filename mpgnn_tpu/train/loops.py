@@ -106,6 +106,7 @@ def build_hop_arrays(
     backend: str = "segment",
     mesh=None,
     mesh_axis: str = "nodes",
+    halo_exchange: str = "a2a",
 ):
     """Per-(metapath, hop) aggregation operands for the relations on a path,
     as tagged tuples consumed by models.mpgnn.hop_aggregate.
@@ -215,15 +216,17 @@ def build_hop_arrays(
                 from mpgnn_tpu.parallel.halo import build_halo_plan
 
                 n_shards = mesh.shape[mesh_axis]
-                key = ("halo", rel, n_shards)
+                key = ("halo", rel, n_shards, halo_exchange)
                 if key not in dense_cache:
                     s, d = graph.rel_edges(rel)
                     dense_cache[key] = build_halo_plan(
-                        s, d, graph.num_nodes, n_shards
+                        s, d, graph.num_nodes, n_shards,
+                        exchange=halo_exchange,
                     )
                 plan = dense_cache[key]
                 ops.append(
                     ("halo", mesh, mesh_axis, plan.block,
+                     plan.exchange, plan.round_sizes,
                      plan.edge_src_local, plan.edge_dst_slot,
                      plan.edge_mask, plan.send_idx, plan.send_mask)
                 )
@@ -248,9 +251,9 @@ def split_hop_ops(hop_ops):
             _, operand, interp = op
             return ("fused", operand.num_rows, interp), (operand.a, operand.a_t)
         if op[0] == "halo":
-            # (mesh, axis, block) are static/hashable; the plan's five
-            # per-shard arrays travel as jit arguments
-            return tuple(op[:4]), tuple(op[4:])
+            # (mesh, axis, block, exchange, round_sizes) are static/hashable;
+            # the plan's five per-shard arrays travel as jit arguments
+            return tuple(op[:6]), tuple(op[6:])
         return op[0], tuple(op[1:])
 
     kinds = [[split_op(op)[0] for op in ops] for ops in hop_ops]
@@ -450,7 +453,8 @@ def train_mpgnn(
     else:
         x = jnp.asarray(x_override if x_override is not None else graph.x)
     hop_ops = build_hop_arrays(
-        graph, metapaths, backend=backend, mesh=mesh, mesh_axis=mesh_axis
+        graph, metapaths, backend=backend, mesh=mesh, mesh_axis=mesh_axis,
+        halo_exchange=cfg.halo_exchange,
     )
     # Split tagged ops into a static kind structure + a dynamic array pytree:
     # large operands (e.g. dense adjacencies) must enter jit as ARGUMENTS,

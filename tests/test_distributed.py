@@ -170,6 +170,118 @@ def test_halo_sharded_aggregate_bf16_high_degree():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_halo_ppermute_exchange_matches_a2a():
+    """plan.exchange='ppermute' (P-1 ring rounds, per-round buffer sizes)
+    computes the identical aggregation as the all_to_all plan and the
+    single-device reference."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from mpgnn_tpu.ops import rel_mean_aggregate
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.parallel.halo import (
+        build_halo_plan,
+        halo_sharded_mean_aggregate,
+        pad_node_features,
+    )
+
+    rng = np.random.default_rng(7)
+    N, E, F, Pn = 120, 900, 8, 4
+    src = rng.integers(0, N, E).astype(np.int64)
+    dst = rng.integers(0, N, E).astype(np.int64)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+
+    mesh = make_mesh((Pn,), ("nodes",), jax.devices()[:Pn])
+    want = np.asarray(
+        rel_mean_aggregate(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), N)
+    )
+    for exchange in ("a2a", "ppermute"):
+        plan = build_halo_plan(src, dst, N, Pn, exchange=exchange)
+        x_sh = jax.device_put(
+            pad_node_features(x, plan),
+            NamedSharding(mesh, PartitionSpec("nodes")),
+        )
+        got = np.asarray(halo_sharded_mean_aggregate(mesh, x_sh, plan))[:N]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=exchange)
+
+
+def test_halo_volume_ppermute_beats_a2a_on_skew():
+    """One hot (q, p) pair inflates EVERY a2a buffer to the global max;
+    the ring plan pads per round only — wire bytes must drop, and the
+    accounting must bound the useful volume correctly."""
+    from mpgnn_tpu.parallel.halo import build_halo_plan, halo_volume
+
+    rng = np.random.default_rng(0)
+    N, Pn = 4096, 8
+    S = N // Pn
+    # skew: shard 0's nodes read MANY distinct nodes of shard 1; all other
+    # pairs exchange a handful of rows
+    hot_src = rng.integers(0, S, 3000)                # owned by shard 0
+    hot_dst = rng.integers(S, 2 * S, 3000)            # owned by shard 1
+    bg_src = rng.integers(0, N, 400)
+    bg_dst = rng.integers(0, N, 400)
+    src = np.concatenate([hot_src, bg_src])
+    dst = np.concatenate([hot_dst, bg_dst])
+
+    a2a = build_halo_plan(src, dst, N, Pn, exchange="a2a")
+    ring = build_halo_plan(src, dst, N, Pn, exchange="ppermute")
+    va, vr = halo_volume(a2a, 16), halo_volume(ring, 16)
+    assert va["useful_rows"] == vr["useful_rows"]
+    assert vr["wire_rows"] >= vr["useful_rows"]
+    # a2a pads all P*(P-1) pairs to the hot pair's size; the ring pads only
+    # the hot pair's round (measured 2.8x fewer wire rows on this skew)
+    assert va["wire_rows"] > 2 * vr["wire_rows"]
+    assert vr["utilization"] > va["utilization"]
+
+
+def test_locality_reorder_preserves_training():
+    """BFS-clustered relabeling (graph/partition.py::locality_reorder) is
+    aggregation-invariant: the relabeled graph + remapped split produce the
+    same mean aggregation (row-permuted) and smaller-or-equal halos."""
+    import jax.numpy as jnp
+
+    from mpgnn_tpu.graph.hetero import HeteroGraph
+    from mpgnn_tpu.graph.partition import locality_reorder
+    from mpgnn_tpu.ops import rel_mean_aggregate
+    from mpgnn_tpu.parallel.halo import build_halo_plan, halo_volume
+
+    rng = np.random.default_rng(4)
+    N, F = 400, 6
+    # two interleaved communities: file ids alternate, so contiguous blocks
+    # cut almost every edge until reordered
+    comm = np.arange(N) % 2
+    members = [np.nonzero(comm == c)[0] for c in (0, 1)]
+    src = np.concatenate([rng.choice(members[c], 1200) for c in (0, 1)])
+    dst = np.concatenate([rng.choice(members[c], 1200) for c in (0, 1)])
+    rel = np.zeros(len(src), np.int32)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    labels = rng.integers(0, 2, N)
+    graph = HeteroGraph(x, src, dst, rel, num_relations=1, labels=labels)
+
+    graph2, _, old_of_new = locality_reorder(graph)
+    # permutation is valid and features/labels follow it
+    assert sorted(old_of_new) == list(range(N))
+    np.testing.assert_array_equal(graph2.x, x[old_of_new])
+    np.testing.assert_array_equal(graph2.labels, labels[old_of_new])
+
+    # aggregation equals the original, row-permuted
+    s2, d2 = graph2.rel_edges(0)
+    got = np.asarray(rel_mean_aggregate(
+        jnp.asarray(graph2.x), jnp.asarray(s2), jnp.asarray(d2), N
+    ))
+    s1, d1 = graph.rel_edges(0)
+    want = np.asarray(rel_mean_aggregate(
+        jnp.asarray(x), jnp.asarray(s1), jnp.asarray(d1), N
+    ))[old_of_new]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # halos shrink: reordering co-locates the communities
+    before = halo_volume(build_halo_plan(s1, d1, N, 4), 16)
+    after = halo_volume(build_halo_plan(s2, d2, N, 4), 16)
+    assert after["useful_rows"] < before["useful_rows"]
+
+
 def test_halo_plan_padded_rows_zero():
     from mpgnn_tpu.parallel.halo import (
         build_halo_plan,
