@@ -55,7 +55,7 @@ def main():
     t0 = time.perf_counter()
     fwd, bwd = build_csr_blocking(src, dst, n)
     print(f"blocking build: {time.perf_counter()-t0:.1f}s "
-          f"(T={fwd.local.shape[0]} tiles, EP={fwd.gidx.shape[0]})",
+          f"(T={fwd.local.shape[0]} tiles, EP={fwd.weight.shape[0]})",
           file=sys.stderr)
 
     x_d = jnp.asarray(x)
@@ -64,8 +64,9 @@ def main():
 
     def dep(x, out):
         # consume EVERY element of out (a partial consumption lets XLA
-        # slice/DCE the producer and fake the timing)
-        return x + jnp.sum(out, axis=0)[None, :] * 1e-30
+        # slice/DCE the producer and fake the timing); scalar-sum so probes
+        # whose output width differs from x (the 256B-padded gather) work
+        return x + jnp.sum(out) * 1e-30
 
     def seg_fwd(x):
         tot = jax.ops.segment_sum(
@@ -134,7 +135,7 @@ def main():
         # 148 Mrows/s at 64B; the kernel pads sub-256B rows up, so the
         # padded-row rate applies), over the PADDED edge count EP and one
         # gather per pass
-        ep = fwd.gidx.shape[0]
+        ep = fwd.weight.shape[0]
         floor_s = passes * ep / 201e6
         print(f"{k:18s} {t*1e3:9.2f} ms   {e*passes/t/1e6:9.1f} M edge-visits/s"
               f"   {gbs:7.1f} GB/s ({100*gbs/HBM_GBS:.1f}% HBM peak, "

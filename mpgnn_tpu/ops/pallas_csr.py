@@ -63,7 +63,15 @@ class CsrBlocking:
     ARGUMENTS while the layout ints (num_rows/block_rows/edge_tile) stay
     static."""
 
-    gidx: jax.Array        # [EP] gather index (other endpoint; 0 for pads)
+    gidx: jax.Array        # [EP+1] gather index (other endpoint; 0 for pads).
+                           #   One trailing dummy: XLA's row gather drops to
+                           #   ~92 Mrows/s (from ~203) when the index count
+                           #   sits at certain residues mod 2048 — 0, 1024,
+                           #   2047 all measured slow, +1 measured fast —
+                           #   and the ET-padded edge count is ALWAYS a 2048
+                           #   multiple; gathering EP+1 rows and slicing the
+                           #   first EP costs nothing (the slice fuses) and
+                           #   keeps the fast path (probe, v5e, 2026-08)
     local: jax.Array       # [T, SUB, LANE] target row in-block (0 for pads)
     weight: jax.Array      # [EP] f32 edge weight (0 for pads) — folded into
                            #      the gathered rows OUTSIDE the kernel (XLA
@@ -107,7 +115,12 @@ def _build_one_direction(
     offsets = np.zeros(nb + 1, dtype=np.int64)
     np.cumsum(padded, out=offsets[1:])
     ep = int(offsets[-1])
-    gidx = np.zeros(ep, dtype=np.int32)
+    # +1 length: see CsrBlocking.gidx. Pad slots carry weight 0, so their
+    # gather VALUE is free — spread them over the row space instead of all
+    # hitting row 0 (2M pad reads of one row serialize on one HBM channel;
+    # measured ~12% of the whole gather at 20% padding)
+    gidx = (np.arange(ep + 1, dtype=np.int64)
+            % max(num_rows, 1)).astype(np.int32)
     local = np.zeros(ep, dtype=np.int32)
     wt = np.zeros(ep, dtype=np.float32)
     src_off = np.zeros(nb + 1, dtype=np.int64)
@@ -242,13 +255,18 @@ def _gather_cols(f: int, dtype) -> int:
 
     Measured on v5e (benchmarks/GATHER_ROOFLINE.json): XLA's random row
     gather is ISSUE-RATE bound — ~201 Mrows/s for >=256-byte rows at any
-    index pattern — but only 148 Mrows/s at 64-byte rows and a pathological
-    25-43 Mrows/s at exactly 128-byte rows. Zero-padding narrow feature
-    rows up to 256 bytes therefore makes the gather FASTER in absolute
-    wall time (1.36x at 64B, ~4.7x at 128B) even though it reads 2-4x the
-    bytes; the one-hot MXU reduction is lane-width-insensitive below 128
-    lanes, so the kernel cost is unchanged."""
+    index pattern — but rows below 64 B and at exactly 128 B hit
+    pathological lowerings (32 B rows: 63 M edge-visits/s at the model
+    level; 128 B: 25-43 Mrows/s). Zero-padding those widths up to 256 B
+    makes the gather FASTER in absolute wall time (bf16 F=16: 158.8 ->
+    85.5 ms measured) even though it reads more bytes; the one-hot MXU
+    reduction is lane-width-insensitive below 128 lanes, so the kernel
+    cost is unchanged. Exactly-64 B rows are the exception: they already
+    run a fast path (~148-159 Mrows/s) and padding them 4x measured
+    slightly SLOWER (75.4 -> 84.8 ms) — leave them alone."""
     per = jnp.dtype(dtype).itemsize
+    if f * per == 64:
+        return f
     return max(f, -(-256 // per))
 
 
@@ -262,7 +280,8 @@ def _gather_weighted(blk: CsrBlocking, x: jax.Array) -> jax.Array:
     fp = _gather_cols(f, x.dtype)
     if fp != f:
         x = jnp.pad(x, ((0, 0), (0, fp - f)))
-    return x[blk.gidx] * blk.weight.astype(x.dtype)[:, None]
+    ep = blk.weight.shape[0]
+    return x[blk.gidx][:ep] * blk.weight.astype(x.dtype)[:, None]
 
 
 @jax.custom_vjp
