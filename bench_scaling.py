@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--out", type=str, default=None,
                     help="write the results JSON to this path too")
+    ap.add_argument("--overlap_probe", action="store_true",
+                    help="decompose one halo aggregation into exchange-only"
+                         " and local-only halves to measure scheduler"
+                         " overlap; optional profiler trace via --trace_dir")
+    ap.add_argument("--trace_dir", type=str, default=None)
     ap.add_argument("--agg_ms_1chip", type=float, default=None,
                     help="measured single-chip aggregation ms at this "
                          "(N, E, F) from benchmarks/bench_csr.py on the "
@@ -182,6 +187,95 @@ def main():
                 file=sys.stderr, flush=True,
             )
 
+    # ---- halo overlap probe (VERDICT r2 item 4): does the all_to_all
+    # overlap the local segment-sum? Decompose one halo aggregation into
+    # its exchange-only and local-only halves on the largest mesh; if
+    # t_full < t_local + t_exchange the scheduler overlapped them. Also
+    # capture a profiler trace of the full op for inspection. NOTE: on the
+    # virtual CPU mesh this measures XLA:CPU's scheduler — evidence of the
+    # program STRUCTURE permitting overlap; real-ICI overlap needs a real
+    # slice (same harness, --platform left unset).
+    overlap = {}
+    if args.overlap_probe and n_max > 1:
+        from jax.sharding import PartitionSpec as P
+
+        n = counts[-1]
+        node_mesh = make_mesh((n,), ("nodes",), devices[:n])
+        plan = build_halo_plan(src, dst, N, n)
+        x_sh = jax.device_put(
+            pad_node_features(x, plan),
+            NamedSharding(node_mesh, PartitionSpec("nodes")),
+        )
+
+        @jax.jit
+        def full(x_sh):
+            return halo_sharded_mean_aggregate(node_mesh, x_sh, plan)
+
+        def exchange_only_fn(x_l, s_idx, s_mask):
+            s_idx, s_mask = s_idx[0], s_mask[0]
+            send = x_l[s_idx] * s_mask[..., None].astype(x_l.dtype)
+            halo = jax.lax.all_to_all(
+                send, "nodes", split_axis=0, concat_axis=0, tiled=False
+            )
+            return jnp.sum(halo.reshape(-1, x_l.shape[1]), axis=0,
+                           keepdims=True)
+
+        @jax.jit
+        def exchange_only(x_sh):
+            return jax.shard_map(
+                exchange_only_fn, mesh=node_mesh,
+                in_specs=(P("nodes"), P("nodes"), P("nodes")),
+                out_specs=P("nodes"),
+            )(x_sh, plan.send_idx, plan.send_mask)
+
+        def local_only_fn(x_l, e_src, e_slot, e_mask):
+            e_src, e_slot, e_mask = e_src[0], e_slot[0], e_mask[0]
+            is_local = e_slot < plan.block
+            m = (e_mask & is_local).astype(jnp.float32)
+            feats = x_l[jnp.minimum(e_slot, plan.block - 1)].astype(
+                jnp.float32
+            )
+            tot = jax.ops.segment_sum(
+                m[:, None] * feats, e_src, num_segments=plan.block
+            )
+            cnt = jax.ops.segment_sum(m, e_src, num_segments=plan.block)
+            return tot / jnp.maximum(cnt, 1.0)[:, None]
+
+        @jax.jit
+        def local_only(x_sh):
+            return jax.shard_map(
+                local_only_fn, mesh=node_mesh,
+                in_specs=(P("nodes"), P("nodes"), P("nodes"), P("nodes")),
+                out_specs=P("nodes"),
+            )(x_sh, plan.edge_src_local, plan.edge_dst_slot, plan.edge_mask)
+
+        def t(fn):
+            r = fn(x_sh)
+            jax.block_until_ready(r)
+            t0 = time.time()
+            for _ in range(args.iters):
+                r = fn(x_sh)
+            jax.block_until_ready(r)
+            return (time.time() - t0) / args.iters
+
+        tf, te, tl = t(full), t(exchange_only), t(local_only)
+        if args.trace_dir:
+            with jax.profiler.trace(args.trace_dir):
+                jax.block_until_ready(full(x_sh))
+        overlap = {
+            "devices": n,
+            "full_ms": round(tf * 1e3, 2),
+            "exchange_only_ms": round(te * 1e3, 2),
+            "local_only_ms": round(tl * 1e3, 2),
+            "sum_parts_ms": round((te + tl) * 1e3, 2),
+            "overlapped": bool(tf < 0.95 * (te + tl)),
+            "trace_dir": args.trace_dir,
+        }
+        print(f"[overlap-probe] full {tf*1e3:.1f}ms vs exchange "
+              f"{te*1e3:.1f} + local {tl*1e3:.1f} = {(te+tl)*1e3:.1f}ms "
+              f"-> overlapped={overlap['overlapped']}",
+              file=sys.stderr, flush=True)
+
     train_results = {}
     halo_train_results = {}
     if args.train:
@@ -300,6 +394,7 @@ def main():
         "edge_tp_train_step": train_results,
         "halo_train_step": halo_train_results,
         "comm_bytes_per_aggregation": comm_model,
+        "halo_overlap_probe": overlap,
         "projected_real_ici": {
             "ici_gbs_per_link": ici_gbs,
             "agg_ms_1chip": args.agg_ms_1chip,

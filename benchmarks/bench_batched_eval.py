@@ -12,7 +12,7 @@ C candidates x EPOCHS epochs and reports seconds per (candidate x epoch),
 from which the full-budget wall extrapolates linearly (the epoch scan body
 is identical every iteration).
 
-Run:  python benchmarks/bench_batched_eval.py [C] [EPOCHS]
+Run:  python benchmarks/bench_batched_eval.py [C] [EPOCHS] [BACKENDS]
 """
 
 import json
@@ -28,6 +28,8 @@ import numpy as np
 def main():
     c_cand = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    backends = (sys.argv[3].split(",") if len(sys.argv) > 3
+                else ["csr", "segment"])
     n, e, f_hid = 500_000, 10_000_000, 64
 
     from mpgnn_tpu.utils.prof import enable_compilation_cache
@@ -54,10 +56,21 @@ def main():
 
     out = {"n": n, "e": e, "candidates": c_cand, "epochs": epochs,
            "hidden": f_hid}
-    for backend in ("csr", "segment"):
+    for backend in backends:
         t0 = time.time()
-        r = evaluate_candidates(graph, paths, split, 2, cfg, seed=0,
-                                backend=backend)
+        try:
+            r = evaluate_candidates(graph, paths, split, 2, cfg, seed=0,
+                                    backend=backend)
+        except Exception as exc:
+            # measured at N=500k/E=10M/C=8: the vmapped segment batch
+            # cannot even COMPILE on one v5e (21.2 GB HBM demand, 4.8 GB of
+            # it scatter-operand padding) — record the failure, it IS the
+            # result
+            msg = repr(exc)
+            out[backend] = {"error": msg[:300]}
+            print(f"[{backend}] FAILED: {msg[:200]}",
+                  file=sys.stderr, flush=True)
+            continue
         t_first = time.time() - t0
         print(f"[{backend}] compile+first: {t_first:.1f}s",
               file=sys.stderr, flush=True)
@@ -76,7 +89,9 @@ def main():
               f"30x1000 would take {out[backend]['projected_30x1000_h']:.2f}h "
               f"(sample val f1 {list(r.values())[0]:.3f})",
               file=sys.stderr, flush=True)
-    if "segment" in out and "csr" in out:
+    if (isinstance(out.get("segment"), dict)
+            and "s_per_candidate_epoch" in out.get("segment", {})
+            and "s_per_candidate_epoch" in out.get("csr", {})):
         out["csr_speedup"] = round(
             out["segment"]["s_per_candidate_epoch"]
             / out["csr"]["s_per_candidate_epoch"], 2,

@@ -261,12 +261,13 @@ def _gather_cols(f: int, dtype) -> int:
     makes the gather FASTER in absolute wall time (bf16 F=16: 158.8 ->
     85.5 ms measured) even though it reads more bytes; the one-hot MXU
     reduction is lane-width-insensitive below 128 lanes, so the kernel
-    cost is unchanged. Exactly-64 B rows are the exception: they already
-    run a fast path (~148-159 Mrows/s) and padding them 4x measured
-    slightly SLOWER (75.4 -> 84.8 ms) — leave them alone."""
+    cost is unchanged. Exactly-64 B rows already run a decent ~148-159
+    Mrows/s path and padding them is a small net loss (F=16 f32 fwd+bwd:
+    231.0 unpadded/round-2 indexing vs 237.3 padded) — but special-casing
+    them under the EP+1 indexing measured WORSE still (242.0), so the
+    uniform >=256 B rule ships and the ~3% F=16-f32 regression is
+    accepted for the 2x wins at 32/128 B rows (docs/DESIGN.md §2)."""
     per = jnp.dtype(dtype).itemsize
-    if f * per == 64:
-        return f
     return max(f, -(-256 // per))
 
 

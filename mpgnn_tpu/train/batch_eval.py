@@ -536,22 +536,34 @@ def _eval_program_csr(
 
         def epoch(carry, e):
             nxt = []
+            # serialize the candidates with a token chain: without it XLA
+            # schedules all C candidates' gather/forward intermediates
+            # concurrently (measured 21 GB HBM demand at C=8, E=10M —
+            # compile-time OOM); the barrier caps live memory at one
+            # candidate's working set, and the chip is saturated by a
+            # single candidate's kernels anyway
+            tok = jnp.zeros((), jnp.float32)
             for c in range(C):
                 p, st = carry[c]
+                p, tok = jax.lax.optimization_barrier((p, tok))
                 rng = jax.random.fold_in(drop_keys[c], e)
-                _, g = jax.value_and_grad(loss_fn)(p, c, rng, agg0s[c])
+                loss, g = jax.value_and_grad(loss_fn)(p, c, rng, agg0s[c])
                 upd, st = tx.update(g, st, p)
                 nxt.append((optax.apply_updates(p, upd), st))
+                tok = loss
             return tuple(nxt), 0.0
 
         carry0 = tuple((p, tx.init(p)) for p in params_list)
         carry, _ = jax.lax.scan(epoch, carry0, jnp.arange(epochs))
         f1s = []
+        tok = jnp.zeros((), jnp.float32)
         for c in range(C):
             p, _ = carry[c]
+            p, tok = jax.lax.optimization_barrier((p, tok))
             outp = forward(p, c, drop_keys[c], False, agg0s[c])
             preds = jnp.argmax(outp, axis=1)
             f1s.append(macro_f1(preds[val_idx], val_y, num_classes))
+            tok = f1s[-1].astype(jnp.float32)
         return jnp.stack(f1s)
 
     return run
