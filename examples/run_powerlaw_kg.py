@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--no_warmer", action="store_true")
     args = ap.parse_args()
 
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="%(asctime)s %(name)s %(message)s",
+    )
+
     if args.platform:
         import jax
 

@@ -26,6 +26,7 @@ Semantics reproduced exactly (see models/scorer.py for the forward parity):
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -34,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpgnn_tpu.config import ScorerConfig
+
+log = logging.getLogger("mpgnn_tpu.scoring")
 from mpgnn_tpu.graph.hetero import HeteroGraph
 from mpgnn_tpu.parallel.context import (
     replicate_sweep,
@@ -326,8 +329,12 @@ def score_relations_flat(
                 len(chunk), N, pad, cfg.epochs_flat, cfg.lr, mode=mode
             )
 
-    for mode, pad, chunk in chunks:
+    for ci, (mode, pad, chunk) in enumerate(chunks):
         R = len(chunk)
+        log.info(
+            "flat sweep chunk %d/%d: %d relations, mode=%s, pad=%d",
+            ci + 1, len(chunks), R, mode, pad,
+        )
         if mode == "ell":
             nbr, mask = _relation_ell_stack(graph, chunk, pad)
             has_edge_rows = mask.any(axis=-1)              # [R, N]
