@@ -53,6 +53,11 @@ _MEM_BUDGET_ENTRIES: Optional[int] = None
 # edge count is hub-inflated: one high-degree node would widen the whole
 # [N, D] table, so it scores through the segment path instead.
 _SEG_RATIO = 64
+# Max R*N of one vmapped segment-form sweep chunk: the XLA:TPU runtime
+# crashed ("kernel fault", worker restart) at R*N ≈ 19.2M (R=96, N=200k,
+# reproduced standalone), and per-relation time degrades superlinearly
+# well before that — see _chunks.
+_SEG_SWEEP_RN_CAP = 8_000_000
 
 
 def _mem_budget_entries() -> int:
@@ -155,6 +160,17 @@ def _chunks(
     for (mode, pad), rels in sorted(by_bucket.items()):
         per_rel = graph.num_nodes * pad if mode == "ell" else 2 * pad
         max_r = max(1, budget // per_rel)
+        if mode == "seg":
+            # the vmapped segment sweep's real width driver is R*N (the
+            # [R, N] weights and the R-batched N-segment scatters), not the
+            # tiny edge arrays the byte budget sees. Measured on v5e
+            # (N=200k, pad=2048): per-relation time degrades superlinearly
+            # with R (0.23 s at R=16 -> 0.39 s at R=64) and at R=96
+            # (R*N = 19.2M) the TPU WORKER CRASHES ("kernel fault") —
+            # reproduced standalone on synthetic data. Cap R*N well under
+            # the cliff; smaller chunks are also strictly faster per
+            # relation.
+            max_r = min(max_r, max(1, _SEG_SWEEP_RN_CAP // graph.num_nodes))
         max_r = max(1, 1 << (max_r.bit_length() - 1))  # pow2 floor
         for i in range(0, len(rels), max_r):
             chunk = rels[i : i + max_r]
@@ -403,6 +419,10 @@ def _instance_chunks(
     for (mode, pad), insts in sorted(by_bucket.items()):
         per_rel = N * pad if mode == "ell" else 2 * pad
         max_r = max(1, budget // per_rel)
+        if mode == "seg":
+            # same vmapped-sweep width cap as _chunks: the bag sweep's
+            # [I, N] weights hit the identical XLA:TPU R*N cliff
+            max_r = min(max_r, max(1, _SEG_SWEEP_RN_CAP // N))
         max_r = max(1, 1 << (max_r.bit_length() - 1))
         for i in range(0, len(insts), max_r):
             chunk = insts[i : i + max_r]
