@@ -271,3 +271,37 @@ def test_bag_sweep_runs_and_flags_degenerate():
     # list here). Just assert it scored without error.
     assert res[1].relation == 1
     assert res[0].num_restarts >= 2
+
+
+def test_seg_chunk_width_cap():
+    """Vmapped segment-form sweep chunks must respect the R*N width cap:
+    the XLA:TPU runtime crashed ('kernel fault') at R*N ~19.2M vmapped
+    sweeps (R=96, N=200k, reproduced standalone on v5e), and per-relation
+    time degrades superlinearly well before that. The byte budget alone
+    would have allowed R=128."""
+    import numpy as np
+
+    from mpgnn_tpu.graph.hetero import HeteroGraph
+    from mpgnn_tpu.search import scoring as sc
+
+    N = 200_000
+    rng = np.random.default_rng(0)
+    # 128 relations, ~1.5k edges each, plus one hub edge per relation so
+    # every relation routes to segment form (hub-inflated ELL)
+    R, per = 128, 1500
+    src = rng.integers(0, N, R * per)
+    hub_src = np.repeat(np.arange(R) % 17, 130)  # 130 hub edges per rel
+    rel = np.concatenate([np.repeat(np.arange(R), per),
+                          np.arange(R).repeat(130)])
+    src = np.concatenate([src, hub_src])
+    dst = rng.integers(0, N, len(src))
+    x = np.zeros((N, 1), np.float32)
+    g = HeteroGraph(x, src, dst, rel, num_relations=R)
+
+    chunks = sc._chunks(list(range(R)), g)
+    assert chunks
+    for mode, pad, chunk in chunks:
+        if mode == "seg":
+            assert len(chunk) * N <= sc._SEG_SWEEP_RN_CAP, (
+                len(chunk), pad,
+            )
