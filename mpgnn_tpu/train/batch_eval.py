@@ -35,7 +35,10 @@ from mpgnn_tpu.train.metrics import macro_f1
 
 def _e_pad(graph: HeteroGraph, paths: Sequence[Sequence[int]], pad: int = 128) -> int:
     e_max = max(int(graph.rel_counts[r]) for p in paths for r in p)
-    return max(pad, -(-e_max // pad) * pad)
+    e = max(pad, -(-e_max // pad) * pad)
+    # keep h[dst] off XLA's slow gather strategy at 1024-multiple index
+    # counts (measured ~92 vs ~203 Mrows/s; docs/DESIGN.md §2 round 3)
+    return e + pad if e % 1024 == 0 else e
 
 
 def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str):

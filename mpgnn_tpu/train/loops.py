@@ -139,6 +139,12 @@ def build_hop_arrays(
                 s, d = graph.rel_edges_csr(rel)
                 n = len(s)
                 e_pad = _round_up(n, pad_multiple)
+                # index counts at a multiple of 1024 put XLA's row gather
+                # on a ~92 Mrows/s strategy instead of ~203 (measured,
+                # docs/DESIGN.md §2 round 3); one more pad block keeps
+                # h[dst] on the fast path
+                if e_pad % 1024 == 0:
+                    e_pad += pad_multiple
                 sp = np.full(e_pad, graph.num_nodes - 1, dtype=np.int32)
                 dp = np.zeros(e_pad, dtype=np.int32)
                 mk = np.zeros(e_pad, dtype=bool)
