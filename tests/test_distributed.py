@@ -386,6 +386,32 @@ def test_train_mpgnn_halo_backend_matches_single_device():
     assert got.test_f1 == ref.test_f1
 
 
+def test_train_mpgnn_halo_ppermute_matches_a2a():
+    """cfg.halo_exchange='ppermute' (ring rounds, per-round buffer sizes)
+    threads through train_mpgnn and produces the identical training run as
+    the all_to_all exchange."""
+    from mpgnn_tpu.config import MPGNNConfig
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.train.loops import train_mpgnn
+
+    g, split = _toy_hetero(seed=11)
+    mps = [[0, 1]]
+    mesh = make_mesh((4,), ("nodes",), jax.devices()[:4])
+    a = train_mpgnn(
+        g, mps, split, 2, MPGNNConfig(hidden_dim=8, epochs=5, dropout=0.0),
+        seed=3, backend="halo", mesh=mesh,
+    )
+    b = train_mpgnn(
+        g, mps, split, 2,
+        MPGNNConfig(hidden_dim=8, epochs=5, dropout=0.0,
+                    halo_exchange="ppermute"),
+        seed=3, backend="halo", mesh=mesh,
+    )
+    np.testing.assert_allclose(b.final_loss, a.final_loss,
+                               rtol=1e-5, atol=1e-6)
+    assert b.val_f1 == a.val_f1 and b.test_f1 == a.test_f1
+
+
 def test_train_mpgnn_halo_decomposed_and_bf16():
     """Node-sharded training composes with the basis decomposition,
     class-weighted NLL and the bf16 compute dtype (smoke: finite loss)."""
