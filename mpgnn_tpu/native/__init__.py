@@ -74,6 +74,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.graphio_sort_by_relation.restype = ctypes.c_int
         lib.graphio_build_ell.restype = ctypes.c_longlong
         lib.graphio_degrees.restype = ctypes.c_int
+        lib.graphio_sort_block_col.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -197,3 +198,28 @@ def degrees(src: np.ndarray, num_nodes: int) -> np.ndarray:
     if rc != 0:
         raise ValueError("src index out of range")
     return deg
+
+
+def sort_block_col(
+    rows: np.ndarray, cols: np.ndarray, bm: int
+) -> np.ndarray:
+    """Edge permutation by (rows // bm, cols, index) — the sorted-CSR
+    blocking's build order (ops/pallas_csr.py). Native counting-sort +
+    per-block sort (~10x numpy's lexsort at 10M edges); stable-equivalent
+    numpy lexsort fallback."""
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    lib = get_lib()
+    if lib is None or len(rows) == 0:
+        return np.lexsort((cols, rows // bm))
+    order = np.empty(len(rows), dtype=np.int64)
+    rc = lib.graphio_sort_block_col(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        ctypes.c_longlong(len(rows)),
+        ctypes.c_longlong(bm),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    if rc != 0:
+        raise ValueError("negative row index")
+    return order

@@ -148,4 +148,34 @@ int graphio_degrees(const int32_t* src, long long E, long long N,
   return 0;
 }
 
+// Edge permutation sorted by (row / bm, col, original index) — the
+// sorted-CSR blocking's build order (ops/pallas_csr.py). Equivalent to
+// numpy's stable lexsort((cols, rows // bm)) but ~10x faster at 10M edges
+// (the blocking build's dominant cost). Counting-sort by block (stable),
+// then per-block std::sort on (col, idx) — O(E + sum_b n_b log n_b).
+int graphio_sort_block_col(const long long* rows, const long long* cols,
+                           long long E, long long bm, long long* order) {
+  if (bm <= 0) return -1;
+  long long nb = 0;
+  for (long long i = 0; i < E; ++i) {
+    long long b = rows[i] / bm;
+    if (b < 0) return -1;
+    if (b + 1 > nb) nb = b + 1;
+  }
+  std::vector<long long> off((size_t)nb + 1, 0);
+  for (long long i = 0; i < E; ++i) ++off[(size_t)(rows[i] / bm) + 1];
+  for (long long b = 0; b < nb; ++b) off[(size_t)b + 1] += off[(size_t)b];
+  std::vector<long long> cursor(off.begin(), off.end() - 1);
+  for (long long i = 0; i < E; ++i)
+    order[cursor[(size_t)(rows[i] / bm)]++] = i;
+  for (long long b = 0; b < nb; ++b) {
+    long long* lo = order + off[(size_t)b];
+    long long* hi = order + off[(size_t)b + 1];
+    std::sort(lo, hi, [cols](long long a, long long c) {
+      return cols[a] != cols[c] ? cols[a] < cols[c] : a < c;
+    });
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -107,7 +107,9 @@ def _build_one_direction(
     # block (the one-hot routes each edge by its own local row), so ordering
     # by gather address turns the XLA row gather's access pattern from
     # random into block-monotonic, which is what HBM burst locality wants
-    order = np.lexsort((cols, rows // bm))
+    from mpgnn_tpu.native import sort_block_col
+
+    order = sort_block_col(rows, cols, bm)
     rows, cols, weights = rows[order], cols[order], weights[order]
     nb = max(1, -(-num_rows // bm))
     counts = np.bincount(rows // bm, minlength=nb)
