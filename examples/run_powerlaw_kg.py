@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--max_hops", type=int, default=None,
                     help="extension hops; default = planted length - 1")
     ap.add_argument("--no_warmer", action="store_true")
+    ap.add_argument("--frontier", type=str, default=None,
+                    help="frontier checkpoint path: the search resumes "
+                         "from the last completed hop after a crash/stall "
+                         "(this image's TPU tunnel freezes mid-process "
+                         "for 20+ min on occasion; docs/DESIGN.md §3)")
     args = ap.parse_args()
 
     import logging
@@ -92,6 +97,7 @@ def main():
     res = find_metapaths(
         graph, labels.astype(np.float32), split, 2, cfg,
         source_nodes=label_nodes, seed=0, warmer=warmer,
+        frontier_checkpoint=args.frontier,
     )
     wall = time.time() - t0
     discovered = [list(p) for p in res.discovered]
