@@ -43,6 +43,14 @@ def main():
                          "for 20+ min on occasion; docs/DESIGN.md §3)")
     args = ap.parse_args()
 
+    import faulthandler
+    import signal
+
+    # SIGUSR1 dumps every thread's Python stack: the image's TPU tunnel
+    # freezes mid-process on occasion (docs/DESIGN.md §3) and this shows
+    # which device call is stuck without killing the run
+    faulthandler.register(signal.SIGUSR1)
+
     import logging
 
     logging.basicConfig(
