@@ -78,6 +78,11 @@ class MPGNNConfig:
     # to PER-ROUND maxima — ships far fewer ICI bytes when halo sizes are
     # skewed (power-law graphs). parallel/halo.py::build_halo_plan.
     halo_exchange: str = "a2a"
+    # Halo LOCAL aggregation: "segment" (XLA segment sums) or "csr" —
+    # per-shard Pallas sorted-CSR kernels over concat(local block, halo),
+    # the scatter-free local path for north-star per-shard edge counts
+    # (parallel/halo.py::build_halo_csr_operands).
+    halo_local: str = "segment"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,8 +164,8 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
             halo_sharded_mean_aggregate,
         )
 
-        (_, mesh, axis, block, exchange, round_sizes,
-         e_src, e_slot, e_mask, s_idx, s_mask) = op
+        (_, mesh, axis, block, exchange, round_sizes, csr_statics,
+         e_src, e_slot, e_mask, s_idx, s_mask, *csr_arrays) = op
         plan = HaloPlan(
             num_shards=mesh.shape[axis], block=block,
             halo_max=s_idx.shape[2] if exchange == "a2a" else 0,
@@ -174,7 +174,11 @@ def hop_aggregate(h: jax.Array, op: Tuple, num_nodes: int) -> jax.Array:
             send_idx=s_idx, send_mask=s_mask,
             exchange=exchange, round_sizes=round_sizes,
         )
-        return halo_sharded_mean_aggregate(mesh, h, plan, axis)
+        return halo_sharded_mean_aggregate(
+            mesh, h, plan, axis,
+            csr_statics=csr_statics,
+            csr_arrays=tuple(csr_arrays) if csr_arrays else None,
+        )
     raise ValueError(f"unknown hop op {kind!r}")
 
 

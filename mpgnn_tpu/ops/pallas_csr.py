@@ -320,6 +320,25 @@ def make_csr_aggregate(fwd: CsrBlocking, bwd: CsrBlocking):
     return lambda x: csr_mean_aggregate(x, fwd, bwd)
 
 
+def build_rect_csr_blocking(
+    rows: np.ndarray, cols: np.ndarray, weights: np.ndarray,
+    num_rows: int, num_cols: int, bm: int | None = None,
+) -> Tuple[CsrBlocking, CsrBlocking]:
+    """(forward, backward) blockings for a RECTANGULAR weighted SpMM:
+    ``out[r] = sum over edges (r, c) of w * x[c]`` with out [num_rows, F]
+    and x [num_cols, F]. The square ``build_csr_blocking`` is the
+    num_rows == num_cols, w = 1/deg special case; the rectangular form is
+    what the node-sharded halo local aggregation needs (rows = local
+    sources [S], cols = slots into concat(local block, halo) [S + H])."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.float32)
+    bm = bm or _auto_bm(max(num_rows, 1), len(rows))
+    fwd = _build_one_direction(rows, cols, weights, num_rows, bm)
+    bwd = _build_one_direction(cols, rows, weights, num_cols, bm)
+    return fwd, bwd
+
+
 # Batched (per-candidate) final-eval use: the eval program calls
 # ``csr_mean_aggregate`` once per candidate under one jit (train/batch_eval's
 # csr path). A vmapped form is unsupported (scalar-prefetched pallas_call),

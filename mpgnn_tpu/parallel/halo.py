@@ -194,6 +194,87 @@ def build_halo_plan(
     )
 
 
+def build_halo_csr_operands(plan: HaloPlan):
+    """Per-shard Pallas sorted-CSR blockings for the halo LOCAL aggregation,
+    stacked [P, ...] for shard_map.
+
+    The plan's per-shard edge lists feed XLA segment sums by default; at
+    north-star scale that is the same scatter wall the csr kernel was built
+    to kill (docs/DESIGN.md §2) — and BASELINE.md's projected-ICI table
+    anchors per-chip compute to the csr rate, so the halo path should
+    actually run it. Each shard gets a rectangular blocking (rows = its S
+    local sources; gather columns = slots into concat(local block, halo));
+    shards pad to one common tile count so the stacked arrays shard_map
+    cleanly. Returns (statics, arrays):
+
+      statics = (S, halo_rows, block_rows, edge_tile)
+      arrays  = (fwd gidx/local/weight/tile_block, bwd ...), each [P, ...]
+    """
+    from mpgnn_tpu.ops.pallas_csr import _auto_bm, build_rect_csr_blocking
+
+    P, S = plan.num_shards, plan.block
+    if plan.exchange == "a2a":
+        h_tot = P * plan.halo_max
+    else:
+        h_tot = int(sum(plan.round_sizes))
+    h_tot = max(h_tot, 1)   # concat(local, halo) needs >=1 halo row
+
+    e_src = np.asarray(plan.edge_src_local)
+    e_slot = np.asarray(plan.edge_dst_slot)
+    e_mask = np.asarray(plan.edge_mask)
+    worst_e = int(e_mask.sum(axis=1).max()) if e_mask.size else 0
+    bm = _auto_bm(S, worst_e)
+    blks = []
+    for p in range(P):
+        real = e_mask[p]
+        rows = e_src[p][real].astype(np.int64)
+        cols = e_slot[p][real].astype(np.int64)
+        deg = np.bincount(rows, minlength=S).astype(np.float32)
+        ew = (1.0 / np.maximum(deg, 1.0))[rows]
+        blks.append(build_rect_csr_blocking(
+            rows, cols, ew, S, S + h_tot, bm=bm,
+        ))
+
+    def pad_stack(parts):
+        """Stack CsrBlockings padded to one tile count. Pad tiles repeat
+        the LAST tile_block id (non-decreasing -> no spurious accumulator
+        reset) with zero weights; the +1 gather-index tail stays last."""
+        t_max = max(b.local.shape[0] for b in parts)
+        et = parts[0].edge_tile
+        out = {"gidx": [], "local": [], "weight": [], "tile_block": []}
+        for b in parts:
+            t = b.local.shape[0]
+            pad_t = t_max - t
+            gidx = np.asarray(b.gidx)
+            local = np.asarray(b.local)
+            weight = np.asarray(b.weight)
+            tb = np.asarray(b.tile_block)
+            if pad_t:
+                tail, body = gidx[-1:], gidx[:-1]
+                gidx = np.concatenate(
+                    [body, np.zeros(pad_t * et, np.int32), tail]
+                )
+                local = np.concatenate(
+                    [local, np.zeros((pad_t,) + local.shape[1:], np.int32)]
+                )
+                weight = np.concatenate(
+                    [weight, np.zeros(pad_t * et, np.float32)]
+                )
+                tb = np.concatenate(
+                    [tb, np.full(pad_t, tb[-1], np.int32)]
+                )
+            out["gidx"].append(gidx)
+            out["local"].append(local)
+            out["weight"].append(weight)
+            out["tile_block"].append(tb)
+        return tuple(jnp.asarray(np.stack(v)) for v in out.values())
+
+    fwd_arrays = pad_stack([f for f, _ in blks])
+    bwd_arrays = pad_stack([b for _, b in blks])
+    statics = (S, h_tot, bm, blks[0][0].edge_tile)
+    return statics, fwd_arrays + bwd_arrays
+
+
 def halo_volume(plan: HaloPlan, feat_dim: int, dtype_bytes: int = 4) -> dict:
     """Per-step halo exchange volume accounting (VERDICT r2 item 8).
 
@@ -246,6 +327,8 @@ def halo_sharded_mean_aggregate(
     x_sharded: jax.Array,   # [P*S, F], sharded P('nodes') on axis 0
     plan: HaloPlan,
     axis: str = "nodes",
+    csr_statics=None,
+    csr_arrays=None,
 ) -> jax.Array:
     """out[i] = mean over edges (i, d) of x[d], with nodes sharded.
 
@@ -258,11 +341,16 @@ def halo_sharded_mean_aggregate(
 
     plan.exchange='ppermute' replaces the single all_to_all with P-1 ring
     rounds whose buffers pad to PER-ROUND maxima (see build_halo_plan) —
-    the skew-robust variant for power-law halos."""
+    the skew-robust variant for power-law halos.
+
+    ``csr_statics``/``csr_arrays`` (from ``build_halo_csr_operands``)
+    replace the local XLA segment sums with per-shard Pallas sorted-CSR
+    kernels over concat(local block, halo) — the scatter-free local path
+    for north-star scale."""
     shard_map = jax.shard_map
     P_n = plan.num_shards
 
-    def local_fn(x_l, e_src, e_slot, e_mask, s_idx, s_mask):
+    def local_fn(x_l, e_src, e_slot, e_mask, s_idx, s_mask, *csr_leaves):
         # x_l arrives as this device's [S, F] node block; the plan arrays
         # arrive with a leading per-device axis of size 1 to strip
         e_src, e_slot, e_mask = e_src[0], e_slot[0], e_mask[0]
@@ -296,6 +384,28 @@ def halo_sharded_mean_aggregate(
             )                                        # [P, H, F]
             halo_flat = halo.reshape(-1, x_l.shape[1])
 
+        if csr_statics is not None:
+            # 2'. scatter-free local path: one rectangular csr kernel over
+            # concat(local block, halo); mean weights (1/deg) are already
+            # folded into the blocking. f32 aggregation (kernel exactness),
+            # cast back to the compute dtype.
+            from mpgnn_tpu.ops.pallas_csr import (
+                CsrBlocking,
+                csr_mean_aggregate,
+            )
+
+            s_rows, h_tot, bm, et = csr_statics
+            fg, fl, fw, ftb, bg, bl, bw, btb = [a[0] for a in csr_leaves]
+            fwd = CsrBlocking(fg, fl, fw, ftb, s_rows, bm, et)
+            bwd = CsrBlocking(bg, bl, bw, btb, s_rows + h_tot, bm, et)
+            pad_h = h_tot - halo_flat.shape[0]
+            if pad_h > 0:     # zero-edge degenerate meshes pad to h_tot
+                halo_flat = jnp.pad(halo_flat, ((0, pad_h), (0, 0)))
+            x_cat = jnp.concatenate(
+                [x_l, halo_flat.astype(x_l.dtype)], axis=0
+            ).astype(jnp.float32)
+            return csr_mean_aggregate(x_cat, fwd, bwd).astype(x_l.dtype)
+
         # 2. local partial first (scheduler can overlap it with the a2a);
         #    accumulate counts and sums in f32 regardless of compute dtype
         acc = jnp.float32
@@ -319,13 +429,18 @@ def halo_sharded_mean_aggregate(
         cnt = cnt + jax.ops.segment_sum(m_rem, e_src, num_segments=plan.block)
         return (tot / jnp.maximum(cnt, 1.0)[:, None]).astype(x_l.dtype)
 
+    extra = tuple(csr_arrays) if csr_arrays is not None else ()
+    kwargs = {}
+    if csr_statics is not None:
+        # pallas_call's out_shape carries no varying-mesh-axes annotation,
+        # so the vma consistency check cannot see through it
+        kwargs["check_vma"] = False
     return shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(
-            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-        ),
+        in_specs=(P(axis),) * (6 + len(extra)),
         out_specs=P(axis),
+        **kwargs,
     )(
         x_sharded,
         plan.edge_src_local,
@@ -333,6 +448,7 @@ def halo_sharded_mean_aggregate(
         plan.edge_mask,
         plan.send_idx,
         plan.send_mask,
+        *extra,
     )
 
 
@@ -399,7 +515,7 @@ def build_node_sharded_train_step(
 
     hop_ops = build_hop_arrays(
         graph, metapaths, backend="halo", mesh=mesh, mesh_axis=axis,
-        halo_exchange=cfg.halo_exchange,
+        halo_exchange=cfg.halo_exchange, halo_local=cfg.halo_local,
     )
     hop_kinds, hop_data = split_hop_ops(hop_ops)
     hop_data = jax.tree_util.tree_map(

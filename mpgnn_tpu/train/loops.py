@@ -107,6 +107,7 @@ def build_hop_arrays(
     mesh=None,
     mesh_axis: str = "nodes",
     halo_exchange: str = "a2a",
+    halo_local: str = "segment",
 ):
     """Per-(metapath, hop) aggregation operands for the relations on a path,
     as tagged tuples consumed by models.mpgnn.hop_aggregate.
@@ -219,7 +220,10 @@ def build_hop_arrays(
                 fwd, bwd = dense_cache[key]
                 ops.append(("csr", fwd, bwd))
             elif backend == "halo":
-                from mpgnn_tpu.parallel.halo import build_halo_plan
+                from mpgnn_tpu.parallel.halo import (
+                    build_halo_csr_operands,
+                    build_halo_plan,
+                )
 
                 n_shards = mesh.shape[mesh_axis]
                 key = ("halo", rel, n_shards, halo_exchange)
@@ -230,11 +234,18 @@ def build_hop_arrays(
                         exchange=halo_exchange,
                     )
                 plan = dense_cache[key]
+                csr_statics, csr_arrays = None, ()
+                if halo_local == "csr":
+                    ck = key + ("csr",)
+                    if ck not in dense_cache:
+                        dense_cache[ck] = build_halo_csr_operands(plan)
+                    csr_statics, csr_arrays = dense_cache[ck]
                 ops.append(
                     ("halo", mesh, mesh_axis, plan.block,
-                     plan.exchange, plan.round_sizes,
+                     plan.exchange, plan.round_sizes, csr_statics,
                      plan.edge_src_local, plan.edge_dst_slot,
-                     plan.edge_mask, plan.send_idx, plan.send_mask)
+                     plan.edge_mask, plan.send_idx, plan.send_mask,
+                     *csr_arrays)
                 )
             else:
                 raise ValueError(f"unknown backend {backend!r}")
@@ -257,9 +268,10 @@ def split_hop_ops(hop_ops):
             _, operand, interp = op
             return ("fused", operand.num_rows, interp), (operand.a, operand.a_t)
         if op[0] == "halo":
-            # (mesh, axis, block, exchange, round_sizes) are static/hashable;
-            # the plan's five per-shard arrays travel as jit arguments
-            return tuple(op[:6]), tuple(op[6:])
+            # (mesh, axis, block, exchange, round_sizes, csr_statics) are
+            # static/hashable; the plan's per-shard arrays (5, +8 when the
+            # csr local path is on) travel as jit arguments
+            return tuple(op[:7]), tuple(op[7:])
         return op[0], tuple(op[1:])
 
     kinds = [[split_op(op)[0] for op in ops] for ops in hop_ops]
@@ -460,7 +472,7 @@ def train_mpgnn(
         x = jnp.asarray(x_override if x_override is not None else graph.x)
     hop_ops = build_hop_arrays(
         graph, metapaths, backend=backend, mesh=mesh, mesh_axis=mesh_axis,
-        halo_exchange=cfg.halo_exchange,
+        halo_exchange=cfg.halo_exchange, halo_local=cfg.halo_local,
     )
     # Split tagged ops into a static kind structure + a dynamic array pytree:
     # large operands (e.g. dense adjacencies) must enter jit as ARGUMENTS,

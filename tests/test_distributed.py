@@ -282,6 +282,55 @@ def test_locality_reorder_preserves_training():
     assert after["useful_rows"] < before["useful_rows"]
 
 
+def test_halo_csr_local_matches_segment_local():
+    """The scatter-free csr local aggregation (per-shard rectangular Pallas
+    blockings over concat(local, halo)) computes the identical node-sharded
+    mean as the XLA segment path, for both exchanges, values AND gradients."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.parallel.halo import (
+        build_halo_csr_operands,
+        build_halo_plan,
+        halo_sharded_mean_aggregate,
+        pad_node_features,
+    )
+
+    rng = np.random.default_rng(13)
+    N, E, F, Pn = 140, 900, 8, 4
+    src = rng.integers(0, N, E).astype(np.int64)
+    dst = rng.integers(0, N, E).astype(np.int64)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    mesh = make_mesh((Pn,), ("nodes",), jax.devices()[:Pn])
+
+    for exchange in ("a2a", "ppermute"):
+        plan = build_halo_plan(src, dst, N, Pn, exchange=exchange)
+        x_sh = jax.device_put(
+            pad_node_features(x, plan),
+            NamedSharding(mesh, PartitionSpec("nodes")),
+        )
+        statics, arrays = build_halo_csr_operands(plan)
+
+        def seg(x_sh):
+            return halo_sharded_mean_aggregate(mesh, x_sh, plan)
+
+        def csr(x_sh):
+            return halo_sharded_mean_aggregate(
+                mesh, x_sh, plan, csr_statics=statics, csr_arrays=arrays
+            )
+
+        a = np.asarray(jax.jit(seg)(x_sh))
+        b = np.asarray(jax.jit(csr)(x_sh))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5,
+                                   err_msg=exchange)
+
+        ga = np.asarray(jax.grad(lambda x: jnp.sum(seg(x) ** 2))(x_sh))
+        gb = np.asarray(jax.grad(lambda x: jnp.sum(csr(x) ** 2))(x_sh))
+        np.testing.assert_allclose(gb, ga, rtol=1e-4, atol=1e-5,
+                                   err_msg=exchange + " grad")
+
+
 def test_halo_plan_padded_rows_zero():
     from mpgnn_tpu.parallel.halo import (
         build_halo_plan,
@@ -409,6 +458,30 @@ def test_train_mpgnn_halo_ppermute_matches_a2a():
     )
     np.testing.assert_allclose(b.final_loss, a.final_loss,
                                rtol=1e-5, atol=1e-6)
+    assert b.val_f1 == a.val_f1 and b.test_f1 == a.test_f1
+
+
+def test_train_mpgnn_halo_csr_local_matches_segment_local():
+    """cfg.halo_local='csr' (scatter-free per-shard local aggregation)
+    trains to the same result as the XLA segment-local halo path."""
+    from mpgnn_tpu.config import MPGNNConfig
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.train.loops import train_mpgnn
+
+    g, split = _toy_hetero(seed=15)
+    mps = [[0, 1]]
+    mesh = make_mesh((4,), ("nodes",), jax.devices()[:4])
+    a = train_mpgnn(
+        g, mps, split, 2, MPGNNConfig(hidden_dim=8, epochs=5, dropout=0.0),
+        seed=3, backend="halo", mesh=mesh,
+    )
+    b = train_mpgnn(
+        g, mps, split, 2,
+        MPGNNConfig(hidden_dim=8, epochs=5, dropout=0.0, halo_local="csr"),
+        seed=3, backend="halo", mesh=mesh,
+    )
+    np.testing.assert_allclose(b.final_loss, a.final_loss,
+                               rtol=1e-4, atol=1e-5)
     assert b.val_f1 == a.val_f1 and b.test_f1 == a.test_f1
 
 
