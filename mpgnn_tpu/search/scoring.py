@@ -769,8 +769,12 @@ def score_bag_tasks(
 
     results: Dict = {t[0]: {} for t in tasks}
     bound = 1.0 / np.sqrt(F)
-    for mode, pad, chunk in chunks:
+    for ci, (mode, pad, chunk) in enumerate(chunks):
         R = len(chunk)
+        log.info(
+            "bag sweep chunk %d/%d: %d instances, mode=%s, pad=%d",
+            ci + 1, len(chunks), R, mode, pad,
+        )
         if mode == "ell":
             nbr, mask = _relation_ell_stack(
                 graph, [r for _, r in chunk], pad
