@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -848,6 +849,7 @@ def score_bag_tasks(
         for _round in range(cfg.max_restarts):
             if not active.any():
                 break
+            t_round = time.time()
             rw0, ru0, rgm, rfm = shard_sweep(
                 jnp.asarray(w0), jnp.asarray(u0), jnp.asarray(grad_mask),
                 jnp.asarray(frozen_mask),
@@ -861,6 +863,10 @@ def score_bag_tasks(
             w = np.asarray(w); u = np.asarray(u)
             loss = np.asarray(loss); per_bag = np.asarray(per_bag)
             winner = np.asarray(winner); member_value = np.asarray(member_value)
+            log.info(
+                "  bag restart round %d: %d/%d instances active, %.1fs",
+                _round + 1, int(active.sum()), R, time.time() - t_round,
+            )
 
             for i in range(R):
                 if not active[i]:
