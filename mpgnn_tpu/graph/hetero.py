@@ -164,6 +164,20 @@ class HeteroGraph:
         self._nbr_cache[key] = out
         return out
 
+    def rel_endpoint_nodes(self, relation: int) -> np.ndarray:
+        """Sorted unique node ids incident to one relation's edges (cached).
+
+        This is the relation's COMPACT index space: every node a per-relation
+        scorer can read or write (sources, destinations, label-informed init
+        targets) is an edge endpoint, so sweep state sized [|endpoints|]
+        replaces [N] — the difference between a 2k-edge relation carrying a
+        4k-entry weight vector and a 200k-entry one (docs/DESIGN.md §5)."""
+        key = ("nodes", int(relation))
+        if key not in self._nbr_cache:
+            src, dst = self.rel_edges(relation)
+            self._nbr_cache[key] = np.unique(np.concatenate([src, dst]))
+        return self._nbr_cache[key]
+
     # ------------------------------------------------------- padded batches
     def relation_batch(
         self,

@@ -140,38 +140,87 @@ def _relation_segment_stack(
     return src, dst, mask
 
 
+def _relation_segment_stack_compact(
+    graph: HeteroGraph, relations: Sequence[int], e_pad: int, c_pad: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[np.ndarray]]:
+    """Compact-space twin of ``_relation_segment_stack``: per-relation
+    src-sorted edge lists remapped into each relation's endpoint space.
+
+    Returns (src [R, e_pad], dst [R, e_pad], mask [R, e_pad], nodes) where
+    ``nodes[i]`` is relation i's sorted unique endpoint array (compact id c
+    ↔ global node nodes[i][c]). Remapping ``np.searchsorted(nodes, src)``
+    is monotone, so the sorted-segment-id invariant of ``_seg_first_max``
+    survives; pad edges point at compact row c_pad-1 (≥ every real id) with
+    mask False, exactly like the full-space stack's N-1 convention."""
+    R = len(relations)
+    src = np.full((R, e_pad), c_pad - 1, dtype=np.int32)
+    dst = np.zeros((R, e_pad), dtype=np.int32)
+    mask = np.zeros((R, e_pad), dtype=bool)
+    nodes: List[np.ndarray] = []
+    for i, r in enumerate(relations):
+        s, d = graph.rel_edges_csr(int(r))
+        nd = graph.rel_endpoint_nodes(int(r))
+        n = len(s)
+        src[i, :n] = np.searchsorted(nd, s)
+        dst[i, :n] = np.searchsorted(nd, d)
+        mask[i, :n] = True
+        nodes.append(nd)
+    return src, dst, mask, nodes
+
+
+def _gather_compact(full_rows: np.ndarray, nodes: List[np.ndarray],
+                    c_pad: int, fill=0.0) -> np.ndarray:
+    """[R, N] host rows → [R, c_pad] compact rows (pad lanes = ``fill``)."""
+    R = len(nodes)
+    out = np.full((R, c_pad), fill, dtype=full_rows.dtype)
+    for i, nd in enumerate(nodes):
+        out[i, : len(nd)] = full_rows[i][nd]
+    return out
+
+
+def _compact_pad(graph: HeteroGraph, relation: int) -> int:
+    """Pow2 bucket of a relation's COMPACT node-space width (its unique edge
+    endpoints) — the device state width of its segment-form scorer."""
+    return _pow2_bucket(len(graph.rel_endpoint_nodes(int(relation))), lo=128)
+
+
 def _chunks(
     relations: Sequence[int], graph: HeteroGraph
-) -> List[Tuple[str, int, List[int]]]:
-    """Group relations into (mode, pad, relation-list) chunks sharing one
-    compile signature.
+) -> List[Tuple[str, int, int, List[int]]]:
+    """Group relations into (mode, pad, cpad, relation-list) chunks sharing
+    one compile signature.
 
     Relations are routed to ELL or segment form (``_relation_mode``), then
-    bucketed by their pow2 pad (max degree / edge count); each bucket is
-    split so the chunk's operand entries fit the memory budget, with R_chunk
-    rounded to a pow2 (padded by repeating the last relation; callers simply
+    bucketed by their pow2 pad (max degree / edge count) AND, for segment
+    form, by the pow2 compact node-space width ``cpad`` (unique edge
+    endpoints — the sweep runs in that compact space, docs/DESIGN.md §5;
+    ELL chunks use the full node space, cpad = N). Each bucket is split so
+    the chunk's operand entries fit the memory budget, with R_chunk rounded
+    to a pow2 (padded by repeating the last relation; callers simply
     overwrite duplicate results). Compile count is then O(#distinct
-    (mode, pad, R_bucket) triples), not O(#chunks)."""
+    (mode, pad, cpad, R_bucket) tuples), not O(#chunks)."""
     budget = _mem_budget_entries()
-    by_bucket: Dict[Tuple[str, int], List[int]] = {}
+    N = graph.num_nodes
+    by_bucket: Dict[Tuple[str, int, int], List[int]] = {}
     for r in relations:
         mode, pad = _relation_mode(graph, int(r))
-        by_bucket.setdefault((mode, pad), []).append(int(r))
-    out: List[Tuple[str, int, List[int]]] = []
-    for (mode, pad), rels in sorted(by_bucket.items()):
-        per_rel = graph.num_nodes * pad if mode == "ell" else 2 * pad
+        cpad = _compact_pad(graph, r) if mode == "seg" else N
+        by_bucket.setdefault((mode, pad, cpad), []).append(int(r))
+    out: List[Tuple[str, int, int, List[int]]] = []
+    for (mode, pad, cpad), rels in sorted(by_bucket.items()):
+        per_rel = N * pad if mode == "ell" else 2 * pad + 4 * cpad
         max_r = max(1, budget // per_rel)
         if mode == "seg":
-            # the vmapped segment sweep's real width driver is R*N (the
-            # [R, N] weights and the R-batched N-segment scatters), not the
-            # tiny edge arrays the byte budget sees. Measured on v5e
-            # (N=200k, pad=2048): per-relation time degrades superlinearly
-            # with R (0.23 s at R=16 -> 0.39 s at R=64) and at R=96
-            # (R*N = 19.2M) the TPU WORKER CRASHES ("kernel fault") —
-            # reproduced standalone on synthetic data. Cap R*N well under
-            # the cliff; smaller chunks are also strictly faster per
-            # relation.
-            max_r = min(max_r, max(1, _SEG_SWEEP_RN_CAP // graph.num_nodes))
+            # the vmapped segment sweep's real width driver is R*C (the
+            # [R, C] weights and the R-batched C-segment scatters), not the
+            # tiny edge arrays the byte budget sees: the XLA:TPU runtime
+            # crashed ("kernel fault", worker restart) at a width product
+            # ≈ 19.2M (round 3, reproduced standalone), and per-relation
+            # time degrades superlinearly well before that. Before the
+            # compact space, C was the full N and this cap forced 200k-node
+            # sweeps into tiny R; now C tracks each relation's real
+            # incident-node count.
+            max_r = min(max_r, max(1, _SEG_SWEEP_RN_CAP // cpad))
         max_r = max(1, 1 << (max_r.bit_length() - 1))  # pow2 floor
         for i in range(0, len(rels), max_r):
             chunk = rels[i : i + max_r]
@@ -183,7 +232,7 @@ def _chunks(
             )
             while len(chunk) < pad_to:
                 chunk = chunk + [chunk[-1]]
-            out.append((mode, pad, chunk))
+            out.append((mode, pad, cpad, chunk))
     return out
 
 
@@ -275,26 +324,40 @@ def _seg_first_max(vals, src_r, em_r, num_nodes: int):
 
 
 @partial(jax.jit, static_argnames=("epochs", "lr"))
-def _flat_sweep_seg(w0, src, dst, emask, loss_mask, y, *, epochs: int, lr: float):
+def _flat_sweep_seg(
+    w0, src, dst, emask, loss_mask, y, denom, const, *, epochs: int, lr: float
+):
     """Segment-form flat sweep — same semantics as ``_flat_sweep`` with
-    [R, E] src-sorted edge lists instead of [R, N, D] neighbor tables.
+    [R, E] src-sorted edge lists instead of [R, N, D] neighbor tables, and
+    EVERY per-node operand in each relation's COMPACT node space (its unique
+    edge endpoints, remapped host-side): w0/loss_mask/y are [R, C] with
+    C = the chunk's pow2 endpoint bucket, and src/dst carry compact ids.
 
-    Memory is O(E) per relation regardless of degree skew: the hub-degree
-    strategy for power-law KGs, where one high-degree node would inflate
-    the whole ELL table (round-2 verdict weak item 3)."""
+    Memory and per-epoch state traffic are O(E) per relation regardless of
+    degree skew OR graph size: nodes outside a relation's endpoint set can
+    never receive gradient (their Adam update is exactly zero), so carrying
+    them on device only burned HBM bandwidth — at KG scale ([R=32, N=200k]
+    vs [32, 4096]) the compact space cuts the sweep's dominant traffic ~50x
+    (docs/DESIGN.md §5).
+
+    Sources outside the compact set but inside the reference's loss mask
+    (labeled sources with no edges of this relation, fb15k mode) contribute
+    the constant ``sum(y² · lmask_outside)`` — passed as ``const`` [R] and
+    added to the masked in-space sum before dividing by ``denom`` [R]
+    (= the FULL-space mask count), so reported losses keep reference
+    semantics (score_relation_parallel, main.py:746-755)."""
     import optax
 
     opt = optax.adam(lr)
 
-    def one_relation(w0_r, src_r, dst_r, em_r, lmask_r):
-        N = w0_r.shape[0]
-        denom = jnp.maximum(jnp.sum(lmask_r), 1.0)
+    def one_relation(w0_r, src_r, dst_r, em_r, lmask_r, y_r, denom_r, const_r):
+        C = w0_r.shape[0]
 
         def loss_fn(w):
             vals = jnp.where(em_r, w[dst_r], -jnp.inf)
-            _, win_e, has = _seg_first_max(vals, src_r, em_r, N)
+            _, win_e, has = _seg_first_max(vals, src_r, em_r, C)
             pred = jnp.where(has, w[dst_r[win_e]], 0.0)
-            return jnp.sum((pred - y) ** 2 * lmask_r) / denom
+            return (jnp.sum((pred - y_r) ** 2 * lmask_r) + const_r) / denom_r
 
         def epoch(carry, _):
             w, st = carry
@@ -309,7 +372,7 @@ def _flat_sweep_seg(w0, src, dst, emask, loss_mask, y, *, epochs: int, lr: float
         )
         return w, losses[-1]
 
-    return jax.vmap(one_relation)(w0, src, dst, emask, loss_mask)
+    return jax.vmap(one_relation)(w0, src, dst, emask, loss_mask, y, denom, const)
 
 
 def score_relations_flat(
@@ -341,22 +404,25 @@ def score_relations_flat(
 
     chunks = _chunks(relations, graph)
     if warmer is not None:
-        for mode, pad, chunk in chunks:
+        for mode, pad, cpad, chunk in chunks:
             warmer.warm_flat_signature(
-                len(chunk), N, pad, cfg.epochs_flat, cfg.lr, mode=mode
+                len(chunk), N, pad, cfg.epochs_flat, cfg.lr, mode=mode,
+                C=cpad,
             )
 
-    for ci, (mode, pad, chunk) in enumerate(chunks):
+    for ci, (mode, pad, cpad, chunk) in enumerate(chunks):
         R = len(chunk)
         log.info(
-            "flat sweep chunk %d/%d: %d relations, mode=%s, pad=%d",
-            ci + 1, len(chunks), R, mode, pad,
+            "flat sweep chunk %d/%d: %d relations, mode=%s, pad=%d, C=%d",
+            ci + 1, len(chunks), R, mode, pad, cpad,
         )
         if mode == "ell":
             nbr, mask = _relation_ell_stack(graph, chunk, pad)
             has_edge_rows = mask.any(axis=-1)              # [R, N]
         else:
-            srcs, dsts_a, emask = _relation_segment_stack(graph, chunk, pad)
+            srcs, dsts_a, emask, nodes = _relation_segment_stack_compact(
+                graph, chunk, pad, cpad
+            )
             has_edge_rows = np.stack(
                 [graph.rel_degrees(int(r)) > 0 for r in chunk]
             )
@@ -382,16 +448,35 @@ def score_relations_flat(
                 *batched, replicate_sweep(jnp.asarray(node_labels)),
                 epochs=cfg.epochs_flat, lr=cfg.lr,
             )
+            w = np.asarray(w)
         else:
+            # device state in each relation's compact endpoint space; the
+            # label-informed init / masks stay full-space host bookkeeping
+            y_rows = np.broadcast_to(node_labels, (R, N))
+            y_c = _gather_compact(y_rows, nodes, cpad)
+            lmask_c = _gather_compact(loss_mask, nodes, cpad)
+            denom = np.maximum(loss_mask.sum(axis=1), 1.0).astype(np.float32)
+            y2 = node_labels.astype(np.float64) ** 2
+            const = np.array([
+                float((y2 * loss_mask[i]).sum()
+                      - (y2[nodes[i]] * loss_mask[i][nodes[i]]).sum())
+                for i in range(R)
+            ], dtype=np.float32)
             batched = shard_sweep(
-                jnp.asarray(w0), jnp.asarray(srcs), jnp.asarray(dsts_a),
-                jnp.asarray(emask), jnp.asarray(loss_mask),
+                jnp.asarray(_gather_compact(w0, nodes, cpad)),
+                jnp.asarray(srcs), jnp.asarray(dsts_a), jnp.asarray(emask),
+                jnp.asarray(lmask_c), jnp.asarray(y_c),
+                jnp.asarray(denom), jnp.asarray(const),
             )
-            w, loss = _flat_sweep_seg(
-                *batched, replicate_sweep(jnp.asarray(node_labels)),
-                epochs=cfg.epochs_flat, lr=cfg.lr,
+            w_c, loss = _flat_sweep_seg(
+                *batched, epochs=cfg.epochs_flat, lr=cfg.lr,
             )
-        w = np.asarray(w)
+            # scatter back: nodes outside the endpoint space provably keep
+            # their init (zero grad -> zero Adam update -> clip no-op)
+            w_c = np.asarray(w_c)
+            w = w0
+            for i, nd in enumerate(nodes):
+                w[i][nd] = w_c[i][: len(nd)]
         loss = np.asarray(loss)
         for i, r in enumerate(chunk):
             if int(r) not in results:   # chunk padding repeats relations
@@ -402,28 +487,33 @@ def score_relations_flat(
 # =========================================================== bag-mode sweep
 def _instance_chunks(
     graph: HeteroGraph, tasks: Sequence, N: int
-) -> List[Tuple[str, int, list]]:
+) -> List[Tuple[str, int, int, list]]:
     """(task index, relation) instances grouped into compile-signature
-    chunks: routed to ELL/segment form (``_relation_mode``), bucketed by the
-    pow2 pad, split by the memory budget, padded to pow2 by repeating the
-    last instance. Deterministic in ``tasks``."""
+    chunks (mode, pad, cpad, instance-list): routed to ELL/segment form
+    (``_relation_mode``), bucketed by the pow2 pad and (segment form) the
+    pow2 compact node-space width, split by the memory budget, padded to
+    pow2 by repeating the last instance. Deterministic in ``tasks``."""
     budget = _mem_budget_entries()
+    F = graph.feat_dim
     instances = [
         (ti, int(r)) for ti, (tid, rels, _, _) in enumerate(tasks)
         for r in rels
     ]
-    by_bucket: Dict[Tuple[str, int], list] = {}
+    by_bucket: Dict[Tuple[str, int, int], list] = {}
     for inst in instances:
         mode, pad = _relation_mode(graph, inst[1])
-        by_bucket.setdefault((mode, pad), []).append(inst)
+        cpad = _compact_pad(graph, inst[1]) if mode == "seg" else N
+        by_bucket.setdefault((mode, pad, cpad), []).append(inst)
     chunks = []
-    for (mode, pad), insts in sorted(by_bucket.items()):
-        per_rel = N * pad if mode == "ell" else 2 * pad
+    for (mode, pad, cpad), insts in sorted(by_bucket.items()):
+        # segment form carries per-instance [C, F] feature rows on top of
+        # the edge lists and [C] state
+        per_rel = N * pad if mode == "ell" else 2 * pad + cpad * (F + 6)
         max_r = max(1, budget // per_rel)
         if mode == "seg":
             # same vmapped-sweep width cap as _chunks: the bag sweep's
-            # [I, N] weights hit the identical XLA:TPU R*N cliff
-            max_r = min(max_r, max(1, _SEG_SWEEP_RN_CAP // N))
+            # [I, C] weights hit the identical XLA:TPU width cliff
+            max_r = min(max_r, max(1, _SEG_SWEEP_RN_CAP // cpad))
         max_r = max(1, 1 << (max_r.bit_length() - 1))
         for i in range(0, len(insts), max_r):
             chunk = insts[i : i + max_r]
@@ -432,7 +522,7 @@ def _instance_chunks(
             )
             while len(chunk) < pad_to:
                 chunk = chunk + [chunk[-1]]
-            chunks.append((mode, pad, chunk))
+            chunks.append((mode, pad, cpad, chunk))
     return chunks
 
 
@@ -563,16 +653,21 @@ def _bag_round_seg(
 ):
     """Segment-form restart round — identical semantics to ``_bag_round``
     with [R, E] src-sorted edge lists (src/dst/emask) instead of [R, N, D]
-    tables; O(E) memory regardless of degree skew (the hub strategy)."""
+    tables, and every per-node operand in each instance's COMPACT endpoint
+    space (``_relation_segment_stack_compact``): w0/grad_mask/frozen_mask
+    are [R, C], ``x`` is the per-instance gathered feature rows [R, C, F],
+    and ``bags`` carries compact member ids. O(E) memory AND O(E) per-epoch
+    state traffic regardless of degree skew or graph size (the hub
+    strategy + the compact-space rule, docs/DESIGN.md §5)."""
 
     def one_relation(w0_r, u0_r, src_r, dst_r, em_r, bags, bag_labels,
-                     mmask_r, keep_r, gmask_r, fmask_r):
-        N = w0_r.shape[0]
+                     mmask_r, keep_r, gmask_r, fmask_r, x_r):
+        C = w0_r.shape[0]
 
         def node_forward(w, u):
-            lin = x @ u                                  # [N]
+            lin = x_r @ u                                # [C]
             vals = jnp.where(em_r, w[dst_r] * lin[src_r], -jnp.inf)
-            _, win_e, has = _seg_first_max(vals, src_r, em_r, N)
+            _, win_e, has = _seg_first_max(vals, src_r, em_r, C)
             member_winner = dst_r[win_e]
             member_value = jnp.where(has, w[member_winner] * lin, 0.0)
             return member_value, member_winner
@@ -584,7 +679,7 @@ def _bag_round_seg(
 
     return jax.vmap(one_relation)(
         w0, u0, src, dst, emask, bags, bag_labels, member_mask, bag_keep,
-        grad_mask, frozen_mask,
+        grad_mask, frozen_mask, x,
     )
 
 
@@ -613,8 +708,10 @@ def warm_retrain_signatures(
         M = _pow2_bucket(max((len(b) for b in bag_list), default=1), lo=2)
         for r in rels:
             mode, pad = _retrain_mode(graph, int(r))
+            cpad = _compact_pad(graph, int(r)) if mode == "seg" else N
             warmer.warm_bag_signature(
-                1, N, pad, B, M, F, cfg.epochs_bags, cfg.lr, mode=mode
+                1, N, pad, B, M, F, cfg.epochs_bags, cfg.lr, mode=mode,
+                C=cpad,
             )
 
 
@@ -660,13 +757,21 @@ def retrain_bags_predictions(
         has_edge = mask.any(axis=-1)
         ops = (jnp.asarray(nbr), jnp.asarray(mask))
         round_fn = _bag_round
+        bags_dev = bags_arr[None]
     else:
-        srcs, dsts_a, emask = _relation_segment_stack(graph, [relation], pad)
+        cpad = _compact_pad(graph, int(relation))
+        srcs, dsts_a, emask, nodes = _relation_segment_stack_compact(
+            graph, [relation], pad, cpad
+        )
         has_edge = (graph.rel_degrees(int(relation)) > 0)[None]
         ops = (jnp.asarray(srcs), jnp.asarray(dsts_a), jnp.asarray(emask))
         round_fn = _bag_round_seg
     member_mask = member_valid[None] & has_edge[:, bags_arr]
     bag_keep = member_mask.any(axis=-1).astype(np.float32)
+    if mode == "seg":
+        nd = nodes[0]
+        bc = np.searchsorted(nd, bags_arr).clip(0, cpad - 1)
+        bags_dev = np.where(member_mask[0], bc, 0)[None]
 
     dsts, mins = dest_min_labels(graph, relation, is_member, member_min_label)
     w0 = rng.uniform(0.0, 1.0, size=(1, N)).astype(np.float32)
@@ -677,15 +782,36 @@ def retrain_bags_predictions(
     bound = 1.0 / np.sqrt(F)
     u0 = rng.uniform(-bound, bound, size=(1, F)).astype(np.float32)
 
+    if mode == "seg":
+        x_c = np.zeros((1, cpad, F), dtype=np.float32)
+        x_c[0, : len(nd)] = x[nd]
+        dev_args = (
+            jnp.asarray(_gather_compact(w0, [nd], cpad)),
+            jnp.ones((1, cpad), jnp.float32),
+            jnp.zeros((1, cpad), bool),
+            jnp.asarray(x_c),
+        )
+    else:
+        dev_args = (
+            jnp.asarray(w0),
+            jnp.ones((1, N), jnp.float32),
+            jnp.zeros((1, N), bool),
+            jnp.asarray(x),
+        )
     _, _, _, _, _, member_value = round_fn(
-        jnp.asarray(w0), jnp.asarray(u0), *ops,
-        jnp.asarray(bags_arr)[None], jnp.asarray(member_mask),
+        dev_args[0], jnp.asarray(u0), *ops,
+        jnp.asarray(bags_dev), jnp.asarray(member_mask),
         jnp.asarray(bag_labels)[None], jnp.asarray(bag_keep),
-        jnp.ones((1, N), jnp.float32), jnp.zeros((1, N), bool),
-        jnp.asarray(x), epochs=cfg.epochs_bags, lr=cfg.lr,
+        dev_args[1], dev_args[2], dev_args[3],
+        epochs=cfg.epochs_bags, lr=cfg.lr,
     )
+    member_value = np.asarray(member_value)[0]
+    if mode == "seg":
+        mv_full = np.zeros(N, dtype=np.float32)
+        mv_full[nd] = member_value[: len(nd)]
+        member_value = mv_full
     recorded = has_edge[0] & is_member
-    return np.asarray(member_value)[0], recorded
+    return member_value, recorded
 
 
 def score_relations_bags(
@@ -738,10 +864,10 @@ def score_bag_tasks(
 
     if warmer is not None:
         # chunk signatures are a pure function of the (task, relation) pairs
-        for mode, pad, chunk in _instance_chunks(graph, tasks, N):
+        for mode, pad, cpad, chunk in _instance_chunks(graph, tasks, N):
             warmer.warm_bag_signature(
                 len(chunk), N, pad, B, M, F, cfg.epochs_bags, cfg.lr,
-                mode=mode,
+                mode=mode, C=cpad,
             )
 
     per_task = []
@@ -770,20 +896,21 @@ def score_bag_tasks(
 
     results: Dict = {t[0]: {} for t in tasks}
     bound = 1.0 / np.sqrt(F)
-    for ci, (mode, pad, chunk) in enumerate(chunks):
+    for ci, (mode, pad, cpad, chunk) in enumerate(chunks):
         R = len(chunk)
         log.info(
-            "bag sweep chunk %d/%d: %d instances, mode=%s, pad=%d",
-            ci + 1, len(chunks), R, mode, pad,
+            "bag sweep chunk %d/%d: %d instances, mode=%s, pad=%d, C=%d",
+            ci + 1, len(chunks), R, mode, pad, cpad,
         )
+        nodes: List[np.ndarray] = []
         if mode == "ell":
             nbr, mask = _relation_ell_stack(
                 graph, [r for _, r in chunk], pad
             )
             has_edge = mask.any(axis=-1)                  # [R, N]
         else:
-            srcs, dsts_a, emask = _relation_segment_stack(
-                graph, [r for _, r in chunk], pad
+            srcs, dsts_a, emask, nodes = _relation_segment_stack_compact(
+                graph, [r for _, r in chunk], pad, cpad
             )
             has_edge = np.stack(
                 [graph.rel_degrees(r) > 0 for _, r in chunk]
@@ -831,18 +958,29 @@ def score_bag_tasks(
         # the reference's per-metapath MPI fan-out (main.py:1400-1408)
         if mode == "ell":
             ops = shard_sweep(jnp.asarray(nbr), jnp.asarray(mask))
+            d_x = replicate_sweep(jnp.asarray(x))
+            bags_dev = bags_i
         else:
             ops = shard_sweep(
                 jnp.asarray(srcs), jnp.asarray(dsts_a), jnp.asarray(emask)
             )
+            # per-instance compact space: remap bag member ids (members
+            # without r-edges are masked — any in-range id works) and
+            # gather each instance's feature rows
+            bags_dev = np.zeros((R, B, M), dtype=np.int32)
+            x_c = np.zeros((R, cpad, F), dtype=np.float32)
+            for i, nd in enumerate(nodes):
+                bc = np.searchsorted(nd, bags_i[i]).clip(0, cpad - 1)
+                bags_dev[i] = np.where(member_mask[i], bc, 0)
+                x_c[i, : len(nd)] = x[nd]
+            d_x = shard_sweep(jnp.asarray(x_c))
         d_bags, d_mmask, d_labels, d_keep = shard_sweep(
-            jnp.asarray(bags_i), jnp.asarray(member_mask),
+            jnp.asarray(bags_dev), jnp.asarray(member_mask),
             jnp.asarray(labels_i), jnp.asarray(bag_keep),
         )
         dev = dict(
             bags=d_bags, member_mask=d_mmask,
-            bag_labels=d_labels, bag_keep=d_keep,
-            x=replicate_sweep(jnp.asarray(x)),
+            bag_labels=d_labels, bag_keep=d_keep, x=d_x,
         )
         round_fn = _bag_round if mode == "ell" else _bag_round_seg
 
@@ -850,9 +988,17 @@ def score_bag_tasks(
             if not active.any():
                 break
             t_round = time.time()
+            if mode == "ell":
+                hw0, hgm, hfm = w0, grad_mask, frozen_mask
+            else:
+                # host bookkeeping stays full-space; the device round runs
+                # in each instance's compact endpoint space
+                hw0 = _gather_compact(w0, nodes, cpad)
+                hgm = _gather_compact(grad_mask, nodes, cpad)
+                hfm = _gather_compact(frozen_mask, nodes, cpad, fill=False)
             rw0, ru0, rgm, rfm = shard_sweep(
-                jnp.asarray(w0), jnp.asarray(u0), jnp.asarray(grad_mask),
-                jnp.asarray(frozen_mask),
+                jnp.asarray(hw0), jnp.asarray(u0), jnp.asarray(hgm),
+                jnp.asarray(hfm),
             )
             w, u, loss, per_bag, winner, member_value = round_fn(
                 rw0, ru0, *ops,
@@ -863,6 +1009,18 @@ def score_bag_tasks(
             w = np.asarray(w); u = np.asarray(u)
             loss = np.asarray(loss); per_bag = np.asarray(per_bag)
             winner = np.asarray(winner); member_value = np.asarray(member_value)
+            if mode == "seg":
+                # back to full space: outside the endpoint set, weights
+                # provably keep their round init (zero grad, zero Adam
+                # update, clip no-op) and member values are exactly 0
+                w_full = w0.copy()
+                mv_full = np.zeros((R, N), dtype=np.float32)
+                win_full = np.zeros((R, B), dtype=np.int64)
+                for i, nd in enumerate(nodes):
+                    w_full[i][nd] = w[i][: len(nd)]
+                    mv_full[i][nd] = member_value[i][: len(nd)]
+                    win_full[i] = nd[winner[i].clip(0, len(nd) - 1)]
+                w, member_value, winner = w_full, mv_full, win_full
             log.info(
                 "  bag restart round %d: %d/%d instances active, %.1fs",
                 _round + 1, int(active.sum()), R, time.time() - t_round,

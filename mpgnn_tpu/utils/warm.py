@@ -95,16 +95,19 @@ class ProgramWarmer:
         from mpgnn_tpu.search import scoring as sc
 
         N = graph.num_nodes
-        for mode, pad, chunk in sc._chunks(list(relations), graph):
+        for mode, pad, cpad, chunk in sc._chunks(list(relations), graph):
             self.warm_flat_signature(
-                len(chunk), N, pad, cfg.epochs_flat, cfg.lr, mode=mode
+                len(chunk), N, pad, cfg.epochs_flat, cfg.lr, mode=mode,
+                C=cpad,
             )
 
     def warm_flat_signature(
         self, R: int, N: int, D: int, epochs: int, lr: float,
-        mode: str = "ell",
+        mode: str = "ell", C: int = 0,
     ) -> None:
-        """``D`` is the degree pad for mode='ell', the edge pad for 'seg'."""
+        """``D`` is the degree pad for mode='ell', the edge pad for 'seg';
+        ``C`` is the seg form's compact node-space width (ignored for
+        'ell', which runs in the full node space)."""
 
         def build_and_call():
             import jax.numpy as jnp
@@ -122,23 +125,26 @@ class ProgramWarmer:
                 )
             else:
                 sc._flat_sweep_seg(
-                    jnp.zeros((R, N), jnp.float32),
-                    jnp.full((R, D), N - 1, jnp.int32),   # src (sorted pad)
+                    jnp.zeros((R, C), jnp.float32),       # w0 (compact)
+                    jnp.full((R, D), C - 1, jnp.int32),   # src (sorted pad)
                     jnp.zeros((R, D), jnp.int32),         # dst
                     jnp.zeros((R, D), bool),              # emask
-                    jnp.zeros((R, N), jnp.float32),
-                    jnp.zeros((N,), jnp.float32),
+                    jnp.zeros((R, C), jnp.float32),       # loss_mask
+                    jnp.zeros((R, C), jnp.float32),       # y
+                    jnp.ones((R,), jnp.float32),          # denom
+                    jnp.zeros((R,), jnp.float32),         # const
                     epochs=epochs, lr=lr,
                 )
 
-        self._submit(("flat", mode, R, N, D, epochs, lr), build_and_call)
+        self._submit(("flat", mode, R, N, D, C, epochs, lr), build_and_call)
 
     def warm_bag_signature(
         self, R: int, N: int, D: int, B: int, M: int, F: int,
-        epochs: int, lr: float, mode: str = "ell",
+        epochs: int, lr: float, mode: str = "ell", C: int = 0,
     ) -> None:
         """Pre-compile one bag-sweep restart-round signature.
-        ``D`` is the degree pad for mode='ell', the edge pad for 'seg'."""
+        ``D`` is the degree pad for mode='ell', the edge pad for 'seg';
+        ``C`` the seg form's compact node-space width."""
 
         def build_and_call():
             import jax.numpy as jnp
@@ -151,29 +157,31 @@ class ProgramWarmer:
                     jnp.zeros((R, N, D), bool),         # nbr_mask
                 )
                 fn = sc._bag_round
+                W, xa = N, jnp.zeros((N, F), jnp.float32)
             else:
                 ops = (
-                    jnp.full((R, D), N - 1, jnp.int32),  # src (sorted pad)
+                    jnp.full((R, D), C - 1, jnp.int32),  # src (sorted pad)
                     jnp.zeros((R, D), jnp.int32),        # dst
                     jnp.zeros((R, D), bool),             # emask
                 )
                 fn = sc._bag_round_seg
+                W, xa = C, jnp.zeros((R, C, F), jnp.float32)
             fn(
-                jnp.zeros((R, N), jnp.float32),     # w0
+                jnp.zeros((R, W), jnp.float32),     # w0
                 jnp.zeros((R, F), jnp.float32),     # u0
                 *ops,
                 jnp.zeros((R, B, M), jnp.int32),    # bags
                 jnp.zeros((R, B, M), bool),         # member_mask
                 jnp.zeros((R, B), jnp.float32),     # bag_labels
                 jnp.zeros((R, B), jnp.float32),     # bag_keep
-                jnp.zeros((R, N), jnp.float32),     # grad_mask
-                jnp.zeros((R, N), bool),            # frozen_mask
-                jnp.zeros((N, F), jnp.float32),     # x
+                jnp.zeros((R, W), jnp.float32),     # grad_mask
+                jnp.zeros((R, W), bool),            # frozen_mask
+                xa,                                 # x
                 epochs=epochs, lr=lr,
             )
 
         self._submit(
-            ("bag", mode, R, N, D, B, M, F, epochs, lr), build_and_call
+            ("bag", mode, R, N, D, C, B, M, F, epochs, lr), build_and_call
         )
 
     def warm_eval(

@@ -173,6 +173,49 @@ def test_flat_sweep_segment_matches_ell(monkeypatch):
         )
 
 
+def test_flat_sweep_compact_fixed_mask_loss_const(monkeypatch):
+    """fb15k mode pins ONE labeled-source set for every relation
+    (main.py:728-735 first=False branch); sources with no edges of a
+    relation then sit OUTSIDE its compact endpoint space yet still
+    contribute (0 - y)² to its loss. The segment sweep must reproduce the
+    ELL sweep's loss (which sums those terms in-device) via its host-side
+    constant."""
+    from mpgnn_tpu.search import scoring as sc
+    from mpgnn_tpu.search.scoring import score_relations_flat
+
+    rng = np.random.default_rng(1)
+    N = 260
+    # relation 0 touches nodes 0..99 only; relation 1 touches 100..199
+    src0 = rng.integers(0, 50, 150)
+    dst0 = rng.integers(50, 100, 150)
+    src1 = rng.integers(100, 150, 150)
+    dst1 = rng.integers(150, 200, 150)
+    src = np.concatenate([src0, src1])
+    dst = np.concatenate([dst0, dst1])
+    rel = np.concatenate([np.zeros(150, int), np.ones(150, int)])
+    x = np.ones((N, 2), np.float32)
+    g = HeteroGraph(x, src, dst, rel, num_relations=2)
+    labels = rng.random(N).astype(np.float32)
+    # labeled sources spread across BOTH relations' node ranges plus nodes
+    # incident to neither -> every relation sees edgeless masked sources
+    sources = list(range(0, 30)) + list(range(100, 130)) + list(range(200, 230))
+
+    ref = score_relations_flat(
+        g, [0, 1], labels, sources, ScorerConfig(), np.random.default_rng(9)
+    )
+    _force_segment(monkeypatch)
+    got = score_relations_flat(
+        g, [0, 1], labels, sources, ScorerConfig(), np.random.default_rng(9)
+    )
+    for r in (0, 1):
+        np.testing.assert_allclose(
+            got[r].loss, ref[r].loss, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            got[r].weights, ref[r].weights, rtol=1e-4, atol=1e-5
+        )
+
+
 def test_bag_sweep_segment_matches_ell(monkeypatch):
     """Segment-form bag restarts reproduce the ELL path's scores, restart
     counts, degenerate flags and member predictions exactly."""
@@ -274,11 +317,12 @@ def test_bag_sweep_runs_and_flags_degenerate():
 
 
 def test_seg_chunk_width_cap():
-    """Vmapped segment-form sweep chunks must respect the R*N width cap:
-    the XLA:TPU runtime crashed ('kernel fault') at R*N ~19.2M vmapped
-    sweeps (R=96, N=200k, reproduced standalone on v5e), and per-relation
-    time degrades superlinearly well before that. The byte budget alone
-    would have allowed R=128."""
+    """Vmapped segment-form sweep chunks must respect the R*C width cap:
+    the XLA:TPU runtime crashed ('kernel fault') at a width product ~19.2M
+    (R=96 full-space sweeps at N=200k, reproduced standalone on v5e), and
+    per-relation time degrades superlinearly well before that. C is now
+    each chunk's COMPACT node-space width (unique edge endpoints), so the
+    cap binds on R*cpad rather than R*N."""
     import numpy as np
 
     from mpgnn_tpu.graph.hetero import HeteroGraph
@@ -300,8 +344,11 @@ def test_seg_chunk_width_cap():
 
     chunks = sc._chunks(list(range(R)), g)
     assert chunks
-    for mode, pad, chunk in chunks:
+    assert any(mode == "seg" for mode, _, _, _ in chunks)
+    for mode, pad, cpad, chunk in chunks:
         if mode == "seg":
-            assert len(chunk) * N <= sc._SEG_SWEEP_RN_CAP, (
-                len(chunk), pad,
+            assert len(chunk) * cpad <= sc._SEG_SWEEP_RN_CAP, (
+                len(chunk), pad, cpad,
             )
+            # the compact width is the endpoint bucket, far under N
+            assert cpad <= sc._pow2_bucket(2 * pad)
