@@ -539,33 +539,20 @@ class BagScore:
 
 
 def _bag_one_relation(
-    node_forward, w0_r, u0_r, bags, bag_labels, mmask_r, keep_r,
-    gmask_r, fmask_r, *, epochs: int, lr: float,
+    forward, w0_r, u0_r, bag_labels, keep_r, gmask_r, fmask_r,
+    *, epochs: int, lr: float,
 ):
     """Shared restart-round scaffold for the ELL and segment bag sweeps.
 
-    ``node_forward(w, u) -> (member_value [N], member_winner [N])`` supplies
-    the per-source neighbor argmax; the bag-level max, the epoch loop, the
-    grad-mask freezing, the [0,1] clamps and the final pre-step forward
-    (main.py:641-673 semantics) are identical across operand forms."""
+    ``forward(w, u) -> (pred [B], winner [B], member_value, member_winner)``
+    supplies the bag-level max over per-source neighbor argmaxes; the epoch
+    loop, the grad-mask freezing, the [0,1] clamps and the final pre-step
+    forward (main.py:641-673 semantics) are identical across operand
+    forms (dense [B, M] bag tables vs flattened member segments)."""
     import optax
 
     opt = optax.adam(lr)
     denom = jnp.maximum(jnp.sum(keep_r), 1.0)
-
-    def forward(w, u):
-        member_value, member_winner = node_forward(w, u)
-        vals = jnp.where(mmask_r, member_value[bags], -jnp.inf)
-        m = jnp.argmax(vals, axis=-1)
-        any_member = jnp.any(mmask_r, axis=-1)
-        pred = jnp.where(
-            any_member,
-            jnp.take_along_axis(vals, m[..., None], -1)[..., 0],
-            0.0,
-        )
-        bag_member = jnp.take_along_axis(bags, m[..., None], -1)[..., 0]
-        winner = member_winner[bag_member]
-        return pred, winner, member_value, member_winner
 
     def loss_fn(params):
         w, u = params
@@ -627,16 +614,27 @@ def _bag_round(
                      keep_r, gmask_r, fmask_r):
         has_edge = jnp.any(mask_r, axis=-1)
 
-        def node_forward(w, u):
+        def forward(w, u):
             lin = x @ u                                  # [N]
             prod = jnp.where(mask_r, w[nbr_r] * lin[:, None], -jnp.inf)
             j = jnp.argmax(prod, axis=-1)
             member_winner = jnp.take_along_axis(nbr_r, j[..., None], -1)[..., 0]
             member_value = jnp.where(has_edge, w[member_winner] * lin, 0.0)
-            return member_value, member_winner
+            # dense [B, M] bag max (first-occurrence argmax ties)
+            vals = jnp.where(mmask_r, member_value[bags], -jnp.inf)
+            m = jnp.argmax(vals, axis=-1)
+            any_member = jnp.any(mmask_r, axis=-1)
+            pred = jnp.where(
+                any_member,
+                jnp.take_along_axis(vals, m[..., None], -1)[..., 0],
+                0.0,
+            )
+            bag_member = jnp.take_along_axis(bags, m[..., None], -1)[..., 0]
+            winner = member_winner[bag_member]
+            return pred, winner, member_value, member_winner
 
         return _bag_one_relation(
-            node_forward, w0_r, u0_r, bags, bag_labels, mmask_r, keep_r,
+            forward, w0_r, u0_r, bag_labels, keep_r,
             gmask_r, fmask_r, epochs=epochs, lr=lr,
         )
 
@@ -648,38 +646,51 @@ def _bag_round(
 
 @partial(jax.jit, static_argnames=("epochs", "lr"))
 def _bag_round_seg(
-    w0, u0, src, dst, emask, bags, member_mask, bag_labels, bag_keep,
-    grad_mask, frozen_mask, x, *, epochs: int, lr: float,
+    w0, u0, src, dst, emask, member_node, member_bag, member_mask,
+    bag_labels, bag_keep, grad_mask, frozen_mask, x,
+    *, epochs: int, lr: float,
 ):
     """Segment-form restart round — identical semantics to ``_bag_round``
     with [R, E] src-sorted edge lists (src/dst/emask) instead of [R, N, D]
-    tables, and every per-node operand in each instance's COMPACT endpoint
-    space (``_relation_segment_stack_compact``): w0/grad_mask/frozen_mask
-    are [R, C], ``x`` is the per-instance gathered feature rows [R, C, F],
-    and ``bags`` carries compact member ids. O(E) memory AND O(E) per-epoch
-    state traffic regardless of degree skew or graph size (the hub
-    strategy + the compact-space rule, docs/DESIGN.md §5)."""
+    tables, every per-node operand in each instance's COMPACT endpoint
+    space (``_relation_segment_stack_compact``: w0/grad_mask/frozen_mask
+    [R, C], per-instance feature rows ``x`` [R, C, F]), and bags FLATTENED
+    into member segments: ``member_node`` [R, P] compact member ids,
+    ``member_bag`` [R, P] non-decreasing bag ids (pads point at B-1,
+    masked), ``member_mask`` [R, P]. The dense [R, B, M] bag tables were
+    ~99% padding under power-law bag-size skew (one hub bag forces M for
+    all); P = pow2(Σ|bag|) makes the bag reduction O(members) like the
+    edge reduction is O(E) (docs/DESIGN.md §5). First-occurrence argmax
+    ties survive: flattening preserves within-bag member order, and
+    ``_seg_first_max`` picks the lowest flattened index."""
 
-    def one_relation(w0_r, u0_r, src_r, dst_r, em_r, bags, bag_labels,
-                     mmask_r, keep_r, gmask_r, fmask_r, x_r):
+    def one_relation(w0_r, u0_r, src_r, dst_r, em_r, mn_r, mb_r, mm_r,
+                     bag_labels, keep_r, gmask_r, fmask_r, x_r):
         C = w0_r.shape[0]
+        B = bag_labels.shape[0]
 
-        def node_forward(w, u):
+        def forward(w, u):
             lin = x_r @ u                                # [C]
             vals = jnp.where(em_r, w[dst_r] * lin[src_r], -jnp.inf)
             _, win_e, has = _seg_first_max(vals, src_r, em_r, C)
             member_winner = dst_r[win_e]
             member_value = jnp.where(has, w[member_winner] * lin, 0.0)
-            return member_value, member_winner
+            # flattened member segments -> per-bag first-occurrence max
+            mvals = jnp.where(mm_r, member_value[mn_r], -jnp.inf)
+            _, win_m, bhas = _seg_first_max(mvals, mb_r, mm_r, B)
+            pred = jnp.where(bhas, mvals[win_m], 0.0)
+            bag_member = mn_r[win_m]
+            winner = member_winner[bag_member]
+            return pred, winner, member_value, member_winner
 
         return _bag_one_relation(
-            node_forward, w0_r, u0_r, bags, bag_labels, mmask_r, keep_r,
+            forward, w0_r, u0_r, bag_labels, keep_r,
             gmask_r, fmask_r, epochs=epochs, lr=lr,
         )
 
     return jax.vmap(one_relation)(
-        w0, u0, src, dst, emask, bags, bag_labels, member_mask, bag_keep,
-        grad_mask, frozen_mask, x,
+        w0, u0, src, dst, emask, member_node, member_bag, member_mask,
+        bag_labels, bag_keep, grad_mask, frozen_mask, x,
     )
 
 
@@ -706,12 +717,13 @@ def warm_retrain_signatures(
     for tid, rels, bag_list, _labels in tasks:
         B = _pow2_bucket(len(bag_list), lo=8)
         M = _pow2_bucket(max((len(b) for b in bag_list), default=1), lo=2)
+        P = _pow2_bucket(sum(len(b) for b in bag_list), lo=8)
         for r in rels:
             mode, pad = _retrain_mode(graph, int(r))
             cpad = _compact_pad(graph, int(r)) if mode == "seg" else N
             warmer.warm_bag_signature(
                 1, N, pad, B, M, F, cfg.epochs_bags, cfg.lr, mode=mode,
-                C=cpad,
+                C=cpad, P=P,
             )
 
 
@@ -757,7 +769,6 @@ def retrain_bags_predictions(
         has_edge = mask.any(axis=-1)
         ops = (jnp.asarray(nbr), jnp.asarray(mask))
         round_fn = _bag_round
-        bags_dev = bags_arr[None]
     else:
         cpad = _compact_pad(graph, int(relation))
         srcs, dsts_a, emask, nodes = _relation_segment_stack_compact(
@@ -769,9 +780,27 @@ def retrain_bags_predictions(
     member_mask = member_valid[None] & has_edge[:, bags_arr]
     bag_keep = member_mask.any(axis=-1).astype(np.float32)
     if mode == "seg":
+        # flattened member segments in the relation's compact space
         nd = nodes[0]
-        bc = np.searchsorted(nd, bags_arr).clip(0, cpad - 1)
-        bags_dev = np.where(member_mask[0], bc, 0)[None]
+        P = _pow2_bucket(sum(len(b) for b in bags), lo=8)
+        mn = np.zeros(P, dtype=np.int32)
+        mb = np.full(P, B - 1, dtype=np.int32)
+        mv = np.zeros(P, dtype=bool)
+        p = 0
+        for i, b in enumerate(bags):
+            mn[p : p + len(b)] = b
+            mb[p : p + len(b)] = i
+            mv[p : p + len(b)] = True
+            p += len(b)
+        fm = mv & has_edge[0][mn]
+        mc = np.searchsorted(nd, mn).clip(0, cpad - 1)
+        bag_ops = (
+            jnp.asarray(np.where(fm, mc, 0))[None],
+            jnp.asarray(mb)[None],
+            jnp.asarray(fm)[None],
+        )
+    else:
+        bag_ops = (jnp.asarray(bags_arr)[None], jnp.asarray(member_mask))
 
     dsts, mins = dest_min_labels(graph, relation, is_member, member_min_label)
     w0 = rng.uniform(0.0, 1.0, size=(1, N)).astype(np.float32)
@@ -799,8 +828,7 @@ def retrain_bags_predictions(
             jnp.asarray(x),
         )
     _, _, _, _, _, member_value = round_fn(
-        dev_args[0], jnp.asarray(u0), *ops,
-        jnp.asarray(bags_dev), jnp.asarray(member_mask),
+        dev_args[0], jnp.asarray(u0), *ops, *bag_ops,
         jnp.asarray(bag_labels)[None], jnp.asarray(bag_keep),
         dev_args[1], dev_args[2], dev_args[3],
         epochs=cfg.epochs_bags, lr=cfg.lr,
@@ -862,21 +890,36 @@ def score_bag_tasks(
         max((len(b) for t in tasks for b in t[2]), default=1), lo=2
     )
 
+    # flattened member-segment width (pow2 of the largest task's total
+    # member count) — the device-side bag reduction is O(members), not
+    # O(B*M) dense-table lanes (docs/DESIGN.md §5)
+    P = _pow2_bucket(
+        max((sum(len(b) for b in t[2]) for t in tasks), default=1), lo=8
+    )
+
     if warmer is not None:
         # chunk signatures are a pure function of the (task, relation) pairs
         for mode, pad, cpad, chunk in _instance_chunks(graph, tasks, N):
             warmer.warm_bag_signature(
                 len(chunk), N, pad, B, M, F, cfg.epochs_bags, cfg.lr,
-                mode=mode, C=cpad,
+                mode=mode, C=cpad, P=P,
             )
 
     per_task = []
     for tid, rels, bag_list, labels in tasks:
         bags_arr = np.zeros((B, M), dtype=np.int32)
         member_valid = np.zeros((B, M), dtype=bool)
+        mn = np.zeros(P, dtype=np.int32)        # flat member node ids
+        mb = np.full(P, B - 1, dtype=np.int32)  # flat bag ids (sorted; pads
+        mv = np.zeros(P, dtype=bool)            #  point at B-1, masked)
+        p = 0
         for i, b in enumerate(bag_list):
             bags_arr[i, : len(b)] = b
             member_valid[i, : len(b)] = True
+            mn[p : p + len(b)] = b
+            mb[p : p + len(b)] = i
+            mv[p : p + len(b)] = True
+            p += len(b)
         lab = np.concatenate([
             np.asarray(labels, dtype=np.float32).reshape(-1),
             np.zeros(B - len(bag_list), dtype=np.float32),
@@ -890,6 +933,7 @@ def score_bag_tasks(
         per_task.append(dict(
             tid=tid, bags=bags_arr, valid=member_valid, labels=lab,
             member_min_label=mml, is_member=np.isfinite(mml),
+            mn=mn, mb=mb, mv=mv,
         ))
 
     chunks = _instance_chunks(graph, tasks, N)
@@ -959,27 +1003,37 @@ def score_bag_tasks(
         if mode == "ell":
             ops = shard_sweep(jnp.asarray(nbr), jnp.asarray(mask))
             d_x = replicate_sweep(jnp.asarray(x))
-            bags_dev = bags_i
+            bag_ops = shard_sweep(
+                jnp.asarray(bags_i), jnp.asarray(member_mask)
+            )
         else:
             ops = shard_sweep(
                 jnp.asarray(srcs), jnp.asarray(dsts_a), jnp.asarray(emask)
             )
-            # per-instance compact space: remap bag member ids (members
+            # per-instance compact space + flattened member segments:
+            # remap member ids into each relation's endpoint space (members
             # without r-edges are masked — any in-range id works) and
             # gather each instance's feature rows
-            bags_dev = np.zeros((R, B, M), dtype=np.int32)
+            mn_i = np.zeros((R, P), dtype=np.int32)
+            mb_i = np.stack([per_task[ti]["mb"] for ti, _ in chunk])
+            mm_i = np.zeros((R, P), dtype=bool)
             x_c = np.zeros((R, cpad, F), dtype=np.float32)
             for i, nd in enumerate(nodes):
-                bc = np.searchsorted(nd, bags_i[i]).clip(0, cpad - 1)
-                bags_dev[i] = np.where(member_mask[i], bc, 0)
+                t = per_task[chunk[i][0]]
+                fm = t["mv"] & has_edge[i][t["mn"]]
+                mc = np.searchsorted(nd, t["mn"]).clip(0, cpad - 1)
+                mn_i[i] = np.where(fm, mc, 0)
+                mm_i[i] = fm
                 x_c[i, : len(nd)] = x[nd]
+            bag_ops = shard_sweep(
+                jnp.asarray(mn_i), jnp.asarray(mb_i), jnp.asarray(mm_i)
+            )
             d_x = shard_sweep(jnp.asarray(x_c))
-        d_bags, d_mmask, d_labels, d_keep = shard_sweep(
-            jnp.asarray(bags_dev), jnp.asarray(member_mask),
+        d_labels, d_keep = shard_sweep(
             jnp.asarray(labels_i), jnp.asarray(bag_keep),
         )
         dev = dict(
-            bags=d_bags, member_mask=d_mmask,
+            bag_ops=bag_ops,
             bag_labels=d_labels, bag_keep=d_keep, x=d_x,
         )
         round_fn = _bag_round if mode == "ell" else _bag_round_seg
@@ -1001,9 +1055,8 @@ def score_bag_tasks(
                 jnp.asarray(hfm),
             )
             w, u, loss, per_bag, winner, member_value = round_fn(
-                rw0, ru0, *ops,
-                dev["bags"], dev["member_mask"], dev["bag_labels"],
-                dev["bag_keep"], rgm, rfm, dev["x"],
+                rw0, ru0, *ops, *dev["bag_ops"],
+                dev["bag_labels"], dev["bag_keep"], rgm, rfm, dev["x"],
                 epochs=cfg.epochs_bags, lr=cfg.lr,
             )
             w = np.asarray(w); u = np.asarray(u)

@@ -140,11 +140,13 @@ class ProgramWarmer:
 
     def warm_bag_signature(
         self, R: int, N: int, D: int, B: int, M: int, F: int,
-        epochs: int, lr: float, mode: str = "ell", C: int = 0,
+        epochs: int, lr: float, mode: str = "ell", C: int = 0, P: int = 0,
     ) -> None:
         """Pre-compile one bag-sweep restart-round signature.
         ``D`` is the degree pad for mode='ell', the edge pad for 'seg';
-        ``C`` the seg form's compact node-space width."""
+        ``C`` the seg form's compact node-space width and ``P`` its
+        flattened member-segment width (the seg form ships member
+        segments, not dense [B, M] bag tables)."""
 
         def build_and_call():
             import jax.numpy as jnp
@@ -156,6 +158,10 @@ class ProgramWarmer:
                     jnp.zeros((R, N, D), jnp.int32),    # nbr
                     jnp.zeros((R, N, D), bool),         # nbr_mask
                 )
+                bag_ops = (
+                    jnp.zeros((R, B, M), jnp.int32),    # bags
+                    jnp.zeros((R, B, M), bool),         # member_mask
+                )
                 fn = sc._bag_round
                 W, xa = N, jnp.zeros((N, F), jnp.float32)
             else:
@@ -164,14 +170,17 @@ class ProgramWarmer:
                     jnp.zeros((R, D), jnp.int32),        # dst
                     jnp.zeros((R, D), bool),             # emask
                 )
+                bag_ops = (
+                    jnp.zeros((R, P), jnp.int32),            # member_node
+                    jnp.full((R, P), B - 1, jnp.int32),      # member_bag
+                    jnp.zeros((R, P), bool),                 # member_mask
+                )
                 fn = sc._bag_round_seg
                 W, xa = C, jnp.zeros((R, C, F), jnp.float32)
             fn(
                 jnp.zeros((R, W), jnp.float32),     # w0
                 jnp.zeros((R, F), jnp.float32),     # u0
-                *ops,
-                jnp.zeros((R, B, M), jnp.int32),    # bags
-                jnp.zeros((R, B, M), bool),         # member_mask
+                *ops, *bag_ops,
                 jnp.zeros((R, B), jnp.float32),     # bag_labels
                 jnp.zeros((R, B), jnp.float32),     # bag_keep
                 jnp.zeros((R, W), jnp.float32),     # grad_mask
@@ -181,7 +190,7 @@ class ProgramWarmer:
             )
 
         self._submit(
-            ("bag", mode, R, N, D, C, B, M, F, epochs, lr), build_and_call
+            ("bag", mode, R, N, D, C, P, B, M, F, epochs, lr), build_and_call
         )
 
     def warm_eval(
