@@ -54,11 +54,21 @@ _MEM_BUDGET_ENTRIES: Optional[int] = None
 # edge count is hub-inflated: one high-degree node would widen the whole
 # [N, D] table, so it scores through the segment path instead.
 _SEG_RATIO = 64
-# Max R*N of one vmapped segment-form sweep chunk: the XLA:TPU runtime
-# crashed ("kernel fault", worker restart) at R*N ≈ 19.2M (R=96, N=200k,
-# reproduced standalone), and per-relation time degrades superlinearly
-# well before that — see _chunks.
+# Max (R x widest per-instance segment surface) of one vmapped segment-form
+# sweep chunk: the XLA:TPU runtime crashed ("kernel fault", worker restart)
+# at R*N ≈ 19.2M full-space sweeps (R=96, N=200k, round 2, reproduced
+# standalone) and AGAIN at R*P ≈ 8.4M member-segment lanes (R=2048,
+# P=4096, round-3 KG hop-2), and per-relation time degrades superlinearly
+# well before that — see _chunks. The cap counts the WIDEST of an
+# instance's segment surfaces (compact node space C, member segments P,
+# bag count B), not just C.
 _SEG_SWEEP_RN_CAP = 8_000_000
+# Absolute vmapped-instance cap: the crash cliffs above are op-mix
+# dependent (8.4M member lanes crashed where 8.4M flat edge lanes ran
+# fine), so very wide instance batches stay capped even when their
+# surfaces are narrow. Compact chunks are cheap — more chunks, not wider
+# ones.
+_SEG_SWEEP_R_CAP = 512
 
 
 def _mem_budget_entries() -> int:
@@ -211,16 +221,15 @@ def _chunks(
         per_rel = N * pad if mode == "ell" else 2 * pad + 4 * cpad
         max_r = max(1, budget // per_rel)
         if mode == "seg":
-            # the vmapped segment sweep's real width driver is R*C (the
-            # [R, C] weights and the R-batched C-segment scatters), not the
-            # tiny edge arrays the byte budget sees: the XLA:TPU runtime
-            # crashed ("kernel fault", worker restart) at a width product
-            # ≈ 19.2M (round 3, reproduced standalone), and per-relation
-            # time degrades superlinearly well before that. Before the
-            # compact space, C was the full N and this cap forced 200k-node
-            # sweeps into tiny R; now C tracks each relation's real
-            # incident-node count.
-            max_r = min(max_r, max(1, _SEG_SWEEP_RN_CAP // cpad))
+            # the vmapped segment sweep's real width driver is R x the
+            # widest segment surface (the [R, C] weights and the R-batched
+            # C-segment scatters), not the tiny edge arrays the byte budget
+            # sees — see _SEG_SWEEP_RN_CAP. Before the compact space, C was
+            # the full N and this cap forced 200k-node sweeps into tiny R;
+            # now C tracks each relation's real incident-node count.
+            max_r = min(
+                max_r, max(1, _SEG_SWEEP_RN_CAP // cpad), _SEG_SWEEP_R_CAP
+            )
         max_r = max(1, 1 << (max_r.bit_length() - 1))  # pow2 floor
         for i in range(0, len(rels), max_r):
             chunk = rels[i : i + max_r]
@@ -485,6 +494,20 @@ def score_relations_flat(
 
 
 # =========================================================== bag-mode sweep
+def _bag_buckets(tasks: Sequence) -> Tuple[int, int, int]:
+    """Shared pow2 (B, M, P) buckets across all tasks — B bags, M members
+    per bag (dense ELL form), P total members (flattened segment form) —
+    so every chunk of a hop compiles against stable shapes."""
+    B = _pow2_bucket(max((len(t[2]) for t in tasks), default=1), lo=8)
+    M = _pow2_bucket(
+        max((len(b) for t in tasks for b in t[2]), default=1), lo=2
+    )
+    P = _pow2_bucket(
+        max((sum(len(b) for b in t[2]) for t in tasks), default=1), lo=8
+    )
+    return B, M, P
+
+
 def _instance_chunks(
     graph: HeteroGraph, tasks: Sequence, N: int
 ) -> List[Tuple[str, int, int, list]]:
@@ -495,6 +518,7 @@ def _instance_chunks(
     pow2 by repeating the last instance. Deterministic in ``tasks``."""
     budget = _mem_budget_entries()
     F = graph.feat_dim
+    B, _, P = _bag_buckets(tasks)
     instances = [
         (ti, int(r)) for ti, (tid, rels, _, _) in enumerate(tasks)
         for r in rels
@@ -511,9 +535,14 @@ def _instance_chunks(
         per_rel = N * pad if mode == "ell" else 2 * pad + cpad * (F + 6)
         max_r = max(1, budget // per_rel)
         if mode == "seg":
-            # same vmapped-sweep width cap as _chunks: the bag sweep's
-            # [I, C] weights hit the identical XLA:TPU width cliff
-            max_r = min(max_r, max(1, _SEG_SWEEP_RN_CAP // cpad))
+            # same vmapped-sweep cliff as _chunks, over the bag sweep's
+            # WIDEST per-instance segment surface: compact node space,
+            # flattened member segments, or bag count (the round-3 KG
+            # hop-2 crash was R*P, not R*C — _SEG_SWEEP_RN_CAP)
+            width = max(cpad, B, P)
+            max_r = min(
+                max_r, max(1, _SEG_SWEEP_RN_CAP // width), _SEG_SWEEP_R_CAP
+            )
         max_r = max(1, 1 << (max_r.bit_length() - 1))
         for i in range(0, len(insts), max_r):
             chunk = insts[i : i + max_r]
@@ -884,18 +913,10 @@ def score_bag_tasks(
     x = np.asarray(graph.x if x is None else x, dtype=np.float32)
     N, F = x.shape
 
-    # shared pow2 (B, M) buckets across all tasks -> stable compile shapes
-    B = _pow2_bucket(max((len(t[2]) for t in tasks), default=1), lo=8)
-    M = _pow2_bucket(
-        max((len(b) for t in tasks for b in t[2]), default=1), lo=2
-    )
-
-    # flattened member-segment width (pow2 of the largest task's total
-    # member count) — the device-side bag reduction is O(members), not
-    # O(B*M) dense-table lanes (docs/DESIGN.md §5)
-    P = _pow2_bucket(
-        max((sum(len(b) for b in t[2]) for t in tasks), default=1), lo=8
-    )
+    # shared pow2 buckets across all tasks -> stable compile shapes; P is
+    # the flattened member-segment width (the device-side bag reduction is
+    # O(members), not O(B*M) dense-table lanes, docs/DESIGN.md §5)
+    B, M, P = _bag_buckets(tasks)
 
     if warmer is not None:
         # chunk signatures are a pure function of the (task, relation) pairs
