@@ -41,7 +41,94 @@ def _e_pad(graph: HeteroGraph, paths: Sequence[Sequence[int]], pad: int = 128) -
     return e + pad if e % 1024 == 0 else e
 
 
-def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str):
+# Max C × E_pad × H entries of ONE vmapped segment-eval program: the
+# XLA:TPU worker crashed ("kernel fault", process restart) executing the
+# batched scatter at C=4 × e_pad=263552 × H=64 ≈ 67M entries (round-3 KG
+# final eval) — the same cliff family search.scoring._SEG_SWEEP_RN_CAP
+# guards for the scorer sweeps (op-mix dependent, so a separate constant).
+# 16M keeps a 4x margin under the observed crash; shipped-scale groups
+# (1-10M entries) sit below it untouched.
+_EVAL_VMAP_ENTRY_CAP = 16_000_000
+
+
+def _segment_chunk_cap(graph: HeteroGraph, group, cfg) -> int:
+    """Max candidates per vmapped segment-eval program, from free HBM.
+
+    The vmapped program's live HLO temps scale linearly in C: per hop a
+    [E_pad, H] gather buffer forward plus its backward transpose temps, an
+    [N, H] activation/grad/Adam working set, and the [L, E_pad] int32 edge
+    stacks. An unchunked group OOMed compile at KG scale (C≈35 × ~550 MB =
+    19.3 GB demanded of a 15.75 GB v5e), so the candidate axis is chunked
+    by this conservative per-candidate estimate against the device's free
+    HBM. The cap rounds down to a power of two so a background AOT warm
+    (which sizes the budget at warm time) and the real call (at call time)
+    agree on the program shape except under >2x free-memory swings, where
+    the miss costs one recompile, never a wrong result.
+    """
+    from mpgnn_tpu.train.loops import (
+        AUTO_DENSE_FREE_FRACTION,
+        auto_dense_budget_bytes,
+    )
+
+    L = len(group[0])
+    e_pad = _e_pad(graph, group)
+    h = cfg.hidden_dim
+    per = 4 * h * (8 * graph.num_nodes + 3 * L * e_pad) + 9 * L * e_pad
+    free = auto_dense_budget_bytes() / AUTO_DENSE_FREE_FRACTION
+    cap = max(1, int(free * 0.6 / max(per, 1)))
+    # ... and by the vmapped-scatter entry cliff (see _EVAL_VMAP_ENTRY_CAP)
+    cap = min(cap, max(1, _EVAL_VMAP_ENTRY_CAP // max(1, e_pad * h)))
+    cap = 1 << (cap.bit_length() - 1)
+    return max(cap, sweep_devices())
+
+
+def _segment_chunks(graph: HeteroGraph, group, cfg):
+    """Split one length group into cap-sized chunks sharing ONE program.
+
+    Every chunk is padded (by repeating its last path) to exactly the cap,
+    and every chunk stacks its edges to the FULL group's ``_e_pad``, so all
+    chunks share identical avals: one compiled executable serves the whole
+    group regardless of how many chunks the HBM budget forces.
+
+    Returns ``([(chunk, offset, n_real), ...], e_pad)``: ``offset`` is the
+    chunk's start index in the full group (per-candidate PRNG keys derive
+    from GLOBAL positions, so chunked == unchunked bit-for-bit) and
+    ``n_real`` the number of non-pad entries whose results are written."""
+    cap = _segment_chunk_cap(graph, group, cfg)
+    if len(group) <= cap:
+        return [(group, 0, len(group))], _e_pad(graph, group)
+    chunks = []
+    for i in range(0, len(group), cap):
+        chunk = group[i:i + cap]
+        n_real = len(chunk)
+        if n_real < cap:
+            chunk = chunk + [chunk[-1]] * (cap - n_real)
+        chunks.append((chunk, i, n_real))
+    return chunks, _e_pad(graph, group)
+
+
+def _csr_chunk_cap(graph: HeteroGraph, cfg) -> int:
+    """Max candidates per csr batched-eval program, from free HBM.
+
+    Unlike the segment batch, csr candidates share relation blocking
+    buffers and the kernel is scatter-free; the per-candidate cost is the
+    [N, H] activation/grad/Adam working set alive across the fused epoch
+    scan (~6 buffers). Calibration point: C=8 at N=500k / H=64 compiled
+    and ran within a 16 GB v5e (BASELINE.md round 3 batched-eval table);
+    this estimate reproduces that operating point."""
+    from mpgnn_tpu.train.loops import (
+        AUTO_DENSE_FREE_FRACTION,
+        auto_dense_budget_bytes,
+    )
+
+    per = 6 * graph.num_nodes * cfg.hidden_dim * 4
+    free = auto_dense_budget_bytes() / AUTO_DENSE_FREE_FRACTION
+    cap = max(1, int(free * 0.5 / max(per, 1)))
+    return 1 << (cap.bit_length() - 1)
+
+
+def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str,
+             e_pad: Optional[int] = None):
     """Full compile signature of one length group's batched-eval program.
 
     Everything the Compiled executable's argument avals depend on is in the
@@ -51,7 +138,8 @@ def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str):
     L, C = len(group[0]), len(group)
     sig = (L, graph.num_nodes, cfg.epochs, cfg.lr, cfg.weight_decay,
            cfg.dropout, num_classes)
-    return (sig, C, _e_pad(graph, group), graph.feat_dim, cfg.hidden_dim,
+    return (sig, C, e_pad if e_pad is not None else _e_pad(graph, group),
+            graph.feat_dim, cfg.hidden_dim,
             base_key_dtype, len(split.train_idx), len(split.val_idx),
             sweep_devices())
 
@@ -73,7 +161,19 @@ def resolve_eval_backend(backend, cfg, graph, paths) -> str:
     max_e = max(
         (int(graph.rel_counts[int(r)]) for p in paths for r in p), default=0
     )
-    return "csr" if max_e >= 1_000_000 else "segment"
+    if max_e >= 1_000_000:
+        return "csr"
+    # even below the per-relation cutover, a wide-e_pad multi-candidate
+    # group can only run the vmapped segment batch near-serialized (the
+    # worker-crash entry cliff, _EVAL_VMAP_ENTRY_CAP caps its chunks at
+    # 1-2 candidates) — the scatter-free csr path is both safe and faster
+    # there (BASELINE.md round 3: 2.8x per unit of work at KG scale)
+    h = cfg.hidden_dim if cfg else 64
+    if len(paths) > 2 and max_e > 0:
+        e_pad = _e_pad(graph, paths)
+        if 4 * e_pad * h > _EVAL_VMAP_ENTRY_CAP:
+            return "csr"
+    return "segment"
 
 
 def eval_aot_keys(graph, paths, split, num_classes, cfg, seed):
@@ -92,16 +192,23 @@ def eval_aot_keys(graph, paths, split, num_classes, cfg, seed):
     for p in paths:
         by_len.setdefault(len(p), []).append(list(p))
     if backend == "csr":
+        cap = _csr_chunk_cap(graph, cfg)
         return [
-            _aot_key_csr(graph, pad_batch_list(group), split, num_classes,
-                         cfg, str(base_key.dtype))
+            _aot_key_csr(graph, pad_batch_list(group[i:i + cap]), split,
+                         num_classes, cfg, str(base_key.dtype))
             for _, group in sorted(by_len.items())
+            for i in range(0, len(group), cap)
         ]
-    return [
-        _aot_key(graph, pad_batch_list(group), split, num_classes, cfg,
-                 str(base_key.dtype))
-        for _, group in sorted(by_len.items())
-    ]
+    keys = []
+    for _, group in sorted(by_len.items()):
+        # mirror evaluate_candidates' HBM chunking: all chunks of a group
+        # share one program shape, so the first chunk's key covers it
+        chunks, e_pad = _segment_chunks(graph, group, cfg)
+        keys.append(
+            _aot_key(graph, pad_batch_list(chunks[0][0]), split, num_classes,
+                     cfg, str(base_key.dtype), e_pad=e_pad)
+        )
+    return keys
 
 
 def _aot_key_csr(graph, group, split, num_classes, cfg, base_key_dtype: str):
@@ -123,10 +230,11 @@ def _aot_key_csr(graph, group, split, num_classes, cfg, base_key_dtype: str):
             base_key_dtype, len(split.train_idx), len(split.val_idx))
 
 
-def _stack_hop_edges(graph: HeteroGraph, paths: List[List[int]], pad: int = 128):
+def _stack_hop_edges(graph: HeteroGraph, paths: List[List[int]], pad: int = 128,
+                     e_pad: Optional[int] = None):
     """[C, L, E_max] padded src/dst/mask for same-length candidate paths."""
     C, L = len(paths), len(paths[0])
-    e_max = _e_pad(graph, paths, pad)
+    e_max = e_pad if e_pad is not None else _e_pad(graph, paths, pad)
     src = np.full((C, L, e_max), graph.num_nodes - 1, dtype=np.int32)
     dst = np.zeros((C, L, e_max), dtype=np.int32)
     mask = np.zeros((C, L, e_max), dtype=bool)
@@ -273,113 +381,146 @@ def evaluate_candidates(
         by_len.setdefault(len(p), []).append(p)
 
     out: Dict[str, float] = {}
-    for L, group in sorted(by_len.items()):
+    for L, full_group in sorted(by_len.items()):
         # an active sweep mesh shards the candidate axis across devices —
         # the reference's final-eval fan-out (main.py:1444-1450); the group
         # is padded to the device-count multiple by repeating the last path
-        # (duplicates collapse into the same result key)
-        group = pad_batch_list(group)
-        src, dst, mask = _stack_hop_edges(graph, group)
-        src, dst, mask = shard_sweep(src, dst, mask)
-        C = len(group)
-        keys = jax.random.split(jax.random.PRNGKey(seed), C)
+        # (duplicates collapse into the same result key). The candidate
+        # axis is additionally chunked by the free-HBM cap
+        # (_segment_chunk_cap — an unchunked KG-scale group demanded
+        # 19.3 GB of a 15.75 GB chip at compile); chunks share identical
+        # avals, so ONE compiled program serves them all.
+        chunks, e_pad = _segment_chunks(graph, full_group, cfg)
+        if len(chunks) > 1 and not compile_only:
+            import logging
 
-        def init_one(key):
-            return init_mpgnn(key, graph.feat_dim, cfg.hidden_dim,
-                              num_classes, [[0] * L])
-
-        base_key = make_dropout_key(
-            jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
-        )
-        sig = (
-            L, graph.num_nodes, cfg.epochs, cfg.lr, cfg.weight_decay,
-            cfg.dropout, num_classes,
-        )
-        run = _eval_program(*sig)
-        aot_key = _aot_key(graph, group, split, num_classes, cfg,
-                           str(base_key.dtype))
-        if compile_only:
-            # abstract lowering: no operand ever reaches the device. The
-            # Compiled executable is KEPT (module store) and invoked
-            # directly by the later real call — neither jit's dispatch
-            # cache nor the persistent compilation cache can be relied on
-            # here (.lower().compile() bypasses the former; the latter is
-            # a silent no-op on some backends, e.g. this image's TPU
-            # tunnel plugin, measured in docs/DESIGN.md §3)
-            params0_abs = abstract_with_batch_sharding(
-                jax.eval_shape(jax.vmap(init_one), keys)
+            logging.getLogger("mpgnn_tpu.batch_eval").info(
+                "eval len-%d group: %d candidates in %d HBM-capped "
+                "chunks of %d", L, len(full_group), len(chunks),
+                len(chunks[0][0]),
             )
-            drop_abs = abstract_with_batch_sharding(
-                jax.eval_shape(
-                    lambda k: jax.vmap(jax.random.fold_in, (None, 0))(
-                        k, jnp.arange(C)
-                    ),
-                    base_key,
+        consumed_keys = []
+        for group, off, n_real in chunks:
+            group = pad_batch_list(group)
+            src, dst, mask = _stack_hop_edges(graph, group, e_pad=e_pad)
+            src, dst, mask = shard_sweep(src, dst, mask)
+            C = len(group)
+            # GLOBAL candidate positions seed init/dropout (jax.random.split
+            # is count-independent per index), so chunked == unchunked ==
+            # per-candidate serial bit-for-bit
+            keys = jax.random.split(jax.random.PRNGKey(seed), off + C)[off:]
+
+            def init_one(key):
+                return init_mpgnn(key, graph.feat_dim, cfg.hidden_dim,
+                                  num_classes, [[0] * L])
+
+            base_key = make_dropout_key(
+                jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
+            )
+            sig = (
+                L, graph.num_nodes, cfg.epochs, cfg.lr, cfg.weight_decay,
+                cfg.dropout, num_classes,
+            )
+            run = _eval_program(*sig)
+            aot_key = _aot_key(graph, group, split, num_classes, cfg,
+                               str(base_key.dtype), e_pad=e_pad)
+            if compile_only:
+                # chunks share one program: the first chunk's warm covers
+                # the rest of the group
+                prior = _aot_inflight.get(aot_key)
+                if aot_key in _aot_store or (
+                    prior is not None and not prior.is_set()
+                ):
+                    continue
+                # abstract lowering: no operand ever reaches the device. The
+                # Compiled executable is KEPT (module store) and invoked
+                # directly by the later real call — neither jit's dispatch
+                # cache nor the persistent compilation cache can be relied on
+                # here (.lower().compile() bypasses the former; the latter is
+                # a silent no-op on some backends, e.g. this image's TPU
+                # tunnel plugin, measured in docs/DESIGN.md §3)
+                params0_abs = abstract_with_batch_sharding(
+                    jax.eval_shape(jax.vmap(init_one), keys)
                 )
-            )
-            # batch args carry the mesh's dim-0 sharding; graph-shaped args
-            # are replicated — matching exactly how the real call places them
-            batch_abs = abstract_with_batch_sharding((src, dst, mask))
-            repl_abs = abstract_replicated(
-                (x, train_idx, train_y, val_idx, val_y)
-            )
-            ev = _aot_inflight.setdefault(aot_key, threading.Event())
-            try:
-                _aot_store[aot_key] = run.lower(
-                    params0_abs, *batch_abs, drop_abs, *repl_abs,
-                ).compile()
-                # bound the retained-executable footprint: warmed programs a
-                # real call never consumed (e.g. abandoned search branches)
-                # are evicted oldest-first past the cap
-                while len(_aot_store) > _AOT_STORE_CAP:
-                    victim = next(iter(_aot_store))
-                    _aot_store.pop(victim, None)
-                    _aot_inflight.pop(victim, None)
-            finally:
-                ev.set()
-            continue
-        params0 = shard_sweep_tree(jax.vmap(init_one)(keys))
-        drop_keys = shard_sweep(jax.vmap(jax.random.fold_in, (None, 0))(
-            base_key, jnp.arange(C)
-        ))
-        x_r, tr_i, tr_y, va_i, va_y = replicate_sweep(
-            x, train_idx, train_y, val_idx, val_y
-        )
-        args = (params0, src, dst, mask, drop_keys,
-                x_r, tr_i, tr_y, va_i, va_y)
-        # a background warm may still be compiling this signature: waiting
-        # beats launching a duplicate 20-577s remote compile
-        ev = _aot_inflight.get(aot_key)
-        if ev is not None and not ev.is_set():
-            ev.wait(timeout=900)
-        compiled = _aot_store.get(aot_key)
-        if compiled is not None:
-            try:
-                val_f1 = compiled(*args)
-                # consumed: one executable per real call — evict so long
-                # multi-class/multi-dataset runs don't accumulate dead
-                # executables (run-internal retries go through `run` anyway)
-                _aot_store.pop(aot_key, None)
-                _aot_inflight.pop(aot_key, None)
-            except (TypeError, ValueError) as e:
-                # executable argument check failed (aval mismatch): the warm
-                # was built for different shapes. Recompile normally — but
-                # say so, this doubles a 20-577s remote compile. Any OTHER
-                # failure (device OOM, tunnel errors) propagates: silently
-                # retrying would mask real bugs.
-                import logging
-
-                logging.getLogger("mpgnn_tpu.batch_eval").warning(
-                    "AOT-warmed eval executable rejected its arguments "
-                    "(%s); recompiling this group", e,
+                drop_abs = abstract_with_batch_sharding(
+                    jax.eval_shape(
+                        lambda k: jax.vmap(jax.random.fold_in, (None, 0))(
+                            k, jnp.arange(C)
+                        ),
+                        base_key,
+                    )
                 )
-                _aot_store.pop(aot_key, None)
-                _aot_inflight.pop(aot_key, None)
+                # batch args carry the mesh's dim-0 sharding; graph-shaped args
+                # are replicated — matching exactly how the real call places them
+                batch_abs = abstract_with_batch_sharding((src, dst, mask))
+                repl_abs = abstract_replicated(
+                    (x, train_idx, train_y, val_idx, val_y)
+                )
+                ev = _aot_inflight.setdefault(aot_key, threading.Event())
+                try:
+                    _aot_store[aot_key] = run.lower(
+                        params0_abs, *batch_abs, drop_abs, *repl_abs,
+                    ).compile()
+                    # bound the retained-executable footprint: warmed programs a
+                    # real call never consumed (e.g. abandoned search branches)
+                    # are evicted oldest-first past the cap
+                    while len(_aot_store) > _AOT_STORE_CAP:
+                        victim = next(iter(_aot_store))
+                        _aot_store.pop(victim, None)
+                        _aot_inflight.pop(victim, None)
+                finally:
+                    ev.set()
+                continue
+            params0 = shard_sweep_tree(jax.vmap(init_one)(keys))
+            drop_keys = shard_sweep(jax.vmap(jax.random.fold_in, (None, 0))(
+                base_key, off + jnp.arange(C)
+            ))
+            x_r, tr_i, tr_y, va_i, va_y = replicate_sweep(
+                x, train_idx, train_y, val_idx, val_y
+            )
+            args = (params0, src, dst, mask, drop_keys,
+                    x_r, tr_i, tr_y, va_i, va_y)
+            # a background warm may still be compiling this signature: waiting
+            # beats launching a duplicate 20-577s remote compile
+            ev = _aot_inflight.get(aot_key)
+            if ev is not None and not ev.is_set():
+                ev.wait(timeout=900)
+            compiled = _aot_store.get(aot_key)
+            if compiled is not None:
+                try:
+                    val_f1 = compiled(*args)
+                    # consumed — but chunks SHARE the executable, so evict
+                    # only after the whole group ran (below); evicting here
+                    # would force chunk 2+ onto a duplicate remote compile
+                    consumed_keys.append(aot_key)
+                except (TypeError, ValueError) as e:
+                    # executable argument check failed (aval mismatch): the warm
+                    # was built for different shapes. Recompile normally — but
+                    # say so, this doubles a 20-577s remote compile. Any OTHER
+                    # failure (device OOM, tunnel errors) propagates: silently
+                    # retrying would mask real bugs.
+                    import logging
+
+                    logging.getLogger("mpgnn_tpu.batch_eval").warning(
+                        "AOT-warmed eval executable rejected its arguments "
+                        "(%s); recompiling this group", e,
+                    )
+                    _aot_store.pop(aot_key, None)
+                    _aot_inflight.pop(aot_key, None)
+                    val_f1 = run(*args)
+            else:
                 val_f1 = run(*args)
-        else:
-            val_f1 = run(*args)
-        for p, f in zip(group, np.asarray(val_f1)):
-            out[str(p)] = float(f)
+            # pad entries (tail repeats + device-multiple padding) are
+            # dropped: their global key positions differ from the real
+            # occurrence, so writing them would leak pad-seeded results
+            for p, f in zip(group[:n_real], np.asarray(val_f1)[:n_real]):
+                out[str(p)] = float(f)
+        # evict consumed warmed executables so long multi-class/multi-
+        # dataset runs don't accumulate dead ones (run-internal retries go
+        # through `run` anyway)
+        for k in consumed_keys:
+            _aot_store.pop(k, None)
+            _aot_inflight.pop(k, None)
     return out
 
 
@@ -609,69 +750,93 @@ def _evaluate_candidates_csr(
         jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
     )
     out: Dict[str, float] = {}
-    for L, group in sorted(by_len.items()):
-        group = pad_batch_list(group)
-        C = len(group)
-        hop_blks = tuple(
-            tuple(blocking(p[j]) for p in group) for j in range(L)
+    for L, full_group in sorted(by_len.items()):
+        # the per-candidate [N, H] working sets alive across the fused
+        # epoch scan bound how many candidates one program can hold: chunk
+        # by the free-HBM cap (each chunk compiles its own program — csr
+        # avals are blocking-content-dependent, so chunks can't share one)
+        cap = _csr_chunk_cap(graph, cfg)
+        subgroups = (
+            [full_group[i:i + cap]
+             for i in range(0, len(full_group), cap)]
+            if len(full_group) > cap else [full_group]
         )
-        keys = jax.random.split(jax.random.PRNGKey(seed), C)
-        params_list = tuple(
-            init_mpgnn(keys[c], graph.feat_dim, cfg.hidden_dim,
-                       num_classes, [[0] * L])
-            for c in range(C)
-        )
-        drop_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            base_key, jnp.arange(C)
-        )
-        run = _eval_program_csr(
-            L, C, cfg.epochs, cfg.lr, cfg.weight_decay, cfg.dropout,
-            num_classes,
-        )
-        args = (params_list, hop_blks, drop_keys, x,
-                train_idx, train_y, val_idx, val_y)
-        aot_key = _aot_key_csr(graph, group, split, num_classes, cfg,
-                               str(base_key.dtype))
-        if compile_only:
-            ev = _aot_inflight.setdefault(aot_key, threading.Event())
-            try:
-                _aot_store[aot_key] = run.lower(
-                    *jax.tree_util.tree_map(
-                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-                        if hasattr(a, "shape") else a,
-                        args,
-                    )
-                ).compile()
-                while len(_aot_store) > _AOT_STORE_CAP:
-                    victim = next(iter(_aot_store))
-                    _aot_store.pop(victim, None)
-                    _aot_inflight.pop(victim, None)
-            finally:
-                ev.set()
-            continue
-        ev = _aot_inflight.get(aot_key)
-        if ev is not None and not ev.is_set():
-            ev.wait(timeout=900)
-        compiled = _aot_store.get(aot_key)
-        if compiled is not None:
-            try:
-                val_f1 = compiled(*args)
-                _aot_store.pop(aot_key, None)
-                _aot_inflight.pop(aot_key, None)
-            except (TypeError, ValueError) as e:
-                import logging
+        if len(subgroups) > 1 and not compile_only:
+            import logging
 
-                logging.getLogger("mpgnn_tpu.batch_eval").warning(
-                    "AOT-warmed csr eval executable rejected its arguments "
-                    "(%s); recompiling this group", e,
-                )
-                _aot_store.pop(aot_key, None)
-                _aot_inflight.pop(aot_key, None)
+            logging.getLogger("mpgnn_tpu.batch_eval").info(
+                "csr eval len-%d group: %d candidates in %d HBM-capped "
+                "chunks of <=%d", L, len(full_group), len(subgroups), cap,
+            )
+        for off in range(0, len(full_group), cap):
+            subgroup = full_group[off:off + cap]
+            n_real = len(subgroup)
+            group = pad_batch_list(subgroup)
+            C = len(group)
+            hop_blks = tuple(
+                tuple(blocking(p[j]) for p in group) for j in range(L)
+            )
+            # GLOBAL candidate positions seed init/dropout (split is
+            # count-independent per index): chunked == unchunked
+            keys = jax.random.split(jax.random.PRNGKey(seed), off + C)[off:]
+            params_list = tuple(
+                init_mpgnn(keys[c], graph.feat_dim, cfg.hidden_dim,
+                           num_classes, [[0] * L])
+                for c in range(C)
+            )
+            drop_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                base_key, off + jnp.arange(C)
+            )
+            run = _eval_program_csr(
+                L, C, cfg.epochs, cfg.lr, cfg.weight_decay, cfg.dropout,
+                num_classes,
+            )
+            args = (params_list, hop_blks, drop_keys, x,
+                    train_idx, train_y, val_idx, val_y)
+            aot_key = _aot_key_csr(graph, group, split, num_classes, cfg,
+                                   str(base_key.dtype))
+            if compile_only:
+                ev = _aot_inflight.setdefault(aot_key, threading.Event())
+                try:
+                    _aot_store[aot_key] = run.lower(
+                        *jax.tree_util.tree_map(
+                            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                            if hasattr(a, "shape") else a,
+                            args,
+                        )
+                    ).compile()
+                    while len(_aot_store) > _AOT_STORE_CAP:
+                        victim = next(iter(_aot_store))
+                        _aot_store.pop(victim, None)
+                        _aot_inflight.pop(victim, None)
+                finally:
+                    ev.set()
+                continue
+            ev = _aot_inflight.get(aot_key)
+            if ev is not None and not ev.is_set():
+                ev.wait(timeout=900)
+            compiled = _aot_store.get(aot_key)
+            if compiled is not None:
+                try:
+                    val_f1 = compiled(*args)
+                    _aot_store.pop(aot_key, None)
+                    _aot_inflight.pop(aot_key, None)
+                except (TypeError, ValueError) as e:
+                    import logging
+
+                    logging.getLogger("mpgnn_tpu.batch_eval").warning(
+                        "AOT-warmed csr eval executable rejected its arguments "
+                        "(%s); recompiling this group", e,
+                    )
+                    _aot_store.pop(aot_key, None)
+                    _aot_inflight.pop(aot_key, None)
+                    val_f1 = run(*args)
+            else:
                 val_f1 = run(*args)
-        else:
-            val_f1 = run(*args)
-        for p, f in zip(group, np.asarray(val_f1)):
-            out[str(p)] = float(f)
+            # pad entries' global key positions differ from the real
+            # occurrence: drop them rather than leak pad-seeded results
+            for p, f in zip(group[:n_real], np.asarray(val_f1)[:n_real]):
+                out[str(p)] = float(f)
     return out
 
 

@@ -285,6 +285,92 @@ def test_evaluate_candidates_csr_compile_only(planted):
     assert set(res) == {str(p) for p in paths}
 
 
+def test_batched_eval_hbm_chunking_matches_unchunked(planted, monkeypatch):
+    """Forcing the free-HBM candidate cap below the group size must produce
+    identical per-candidate results: chunks are pure batch splits (padded to
+    the cap, stacked to the full group's e_pad) of independent trainings.
+    Regression for the KG-scale compile OOM (19.3 GB demanded of a 15.75 GB
+    chip by an unchunked C≈35 vmapped program)."""
+    from mpgnn_tpu.train import batch_eval
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=40, hidden_dim=8)
+    paths = [[1, 0], [0, 1], [2, 3], [3, 2], [1, 2]]
+    full = evaluate_candidates(graph, paths, split, 2, cfg, seed=3)
+    monkeypatch.setattr(batch_eval, "_segment_chunk_cap",
+                        lambda *a, **k: 2)
+    chunked = evaluate_candidates(graph, paths, split, 2, cfg, seed=3)
+    assert set(chunked) == set(full)
+    for p in paths:
+        np.testing.assert_allclose(chunked[str(p)], full[str(p)], atol=1e-5)
+
+
+def test_batched_eval_csr_chunking_matches_unchunked(planted, monkeypatch):
+    """csr eval chunked by a forced tiny HBM cap == unchunked csr results
+    (each chunk is an independent program over the shared blockings)."""
+    from mpgnn_tpu.train import batch_eval
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=30, hidden_dim=8)
+    paths = [[1, 0], [0, 1], [2, 3], [3, 2], [1, 2]]
+    full = evaluate_candidates(graph, paths, split, 2, cfg, seed=4,
+                               backend="csr")
+    monkeypatch.setattr(batch_eval, "_csr_chunk_cap", lambda *a, **k: 2)
+    chunked = evaluate_candidates(graph, paths, split, 2, cfg, seed=4,
+                                  backend="csr")
+    for p in paths:
+        np.testing.assert_allclose(chunked[str(p)], full[str(p)], atol=1e-5)
+
+
+def test_resolve_eval_backend_entry_cliff(planted):
+    """'auto' routes a wide-e_pad multi-candidate group to csr even below
+    the 1M-edges/relation cutover: the vmapped segment batch would run
+    into the worker-crash entry cliff near-serialized (KG regression)."""
+    from mpgnn_tpu.train import batch_eval
+
+    graph, g = planted
+    cfg = MPGNNConfig(hidden_dim=64)
+    paths = [[1, 0], [0, 1], [2, 3]]
+    assert batch_eval.resolve_eval_backend("auto", cfg, graph, paths) == \
+        "segment"  # shipped scale: far below both bounds
+    try:
+        # shrink the cliff below this graph's e_pad x H to simulate KG scale
+        orig = batch_eval._EVAL_VMAP_ENTRY_CAP
+        batch_eval._EVAL_VMAP_ENTRY_CAP = 1
+        assert batch_eval.resolve_eval_backend(
+            "auto", cfg, graph, paths) == "csr"
+    finally:
+        batch_eval._EVAL_VMAP_ENTRY_CAP = orig
+
+
+def test_segment_chunks_share_one_shape(planted):
+    """All HBM chunks of a length group share (C, e_pad) so one compiled
+    program serves them; the AOT warm key mirrors the chunk shape."""
+    from mpgnn_tpu.train import batch_eval
+
+    graph, g = planted
+    cfg = MPGNNConfig(epochs=5, hidden_dim=8)
+    group = [[1, 0], [0, 1], [2, 3], [3, 2], [1, 2]]
+    cap = 2
+    orig = batch_eval._segment_chunk_cap
+    try:
+        batch_eval._segment_chunk_cap = lambda *a, **k: cap
+        chunks, e_pad = batch_eval._segment_chunks(graph, group, cfg)
+    finally:
+        batch_eval._segment_chunk_cap = orig
+    assert len(chunks) == 3
+    assert all(len(c) == cap for c, _, _ in chunks)
+    assert [off for _, off, _ in chunks] == [0, 2, 4]
+    assert [n for _, _, n in chunks] == [2, 2, 1]
+    assert e_pad == batch_eval._e_pad(graph, group)
+    # tail chunk padded by repeating its last real path
+    assert chunks[-1][0] == [[1, 2], [1, 2]]
+
+
 def test_balanced_undersample():
     from mpgnn_tpu.utils.misc import balanced_undersample
 
