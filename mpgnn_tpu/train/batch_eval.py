@@ -515,6 +515,14 @@ def evaluate_candidates(
             # occurrence, so writing them would leak pad-seeded results
             for p, f in zip(group[:n_real], np.asarray(val_f1)[:n_real]):
                 out[str(p)] = float(f)
+            if len(chunks) > 1:
+                import logging
+
+                logging.getLogger("mpgnn_tpu.batch_eval").info(
+                    "  eval chunk %d/%d done (%d candidates)",
+                    off // max(1, len(chunks[0][0])) + 1, len(chunks),
+                    n_real,
+                )
         # evict consumed warmed executables so long multi-class/multi-
         # dataset runs don't accumulate dead ones (run-internal retries go
         # through `run` anyway)
