@@ -102,7 +102,11 @@ def main():
     y0 = _gather_weighted(fwd, x_d)
 
     def gather_only(x, fwd):
-        return dep(x, _gather_weighted(fwd, x)[:n])
+        # consume the FULL [EP, F] result: a row slice here (an earlier
+        # version took [:n]) breaks the gather+scale+reduce fusion and
+        # materializes the 3 GB intermediate, mismeasuring the gather ~16%
+        # slow (69.2 vs 58.3 ms at F=64 — probe_gather_gap.py)
+        return dep(x, _gather_weighted(fwd, x))
 
     def kernel_only(y, fwd):
         out = _segment_apply(fwd, y)

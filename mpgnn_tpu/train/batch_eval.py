@@ -426,10 +426,15 @@ def evaluate_candidates(
                                str(base_key.dtype), e_pad=e_pad)
             if compile_only:
                 # chunks share one program: the first chunk's warm covers
-                # the rest of the group
+                # the rest of the group. An unset in-flight event means some
+                # OTHER warm task is mid-compile — unless this thread's own
+                # warm registered it (the warmer pre-registers events on the
+                # submitting thread; _owns_aot_key), in which case compiling
+                # is exactly this pass's job.
                 prior = _aot_inflight.get(aot_key)
                 if aot_key in _aot_store or (
                     prior is not None and not prior.is_set()
+                    and not _owns_aot_key(aot_key)
                 ):
                     continue
                 # abstract lowering: no operand ever reaches the device. The
@@ -540,6 +545,33 @@ _aot_store: Dict[tuple, object] = {}
 _aot_inflight: Dict[tuple, "threading.Event"] = {}
 _AOT_STORE_CAP = 32  # executables are evicted after first use; this bounds
                      # warmed-but-never-consumed leftovers
+
+# AOT keys whose in-flight events THIS thread registered (the warmer
+# registers them synchronously on the submitting thread, then the pool
+# thread runs compile_only): without this, the compile_only pass would see
+# its own unset event as "another compile in progress" and skip — leaving
+# the store empty and the events set over nothing.
+_compile_owned = threading.local()
+
+
+class _owned_aot_keys:
+    """Context manager marking ``keys`` as owned by the current thread's
+    compile_only pass (see ProgramWarmer.warm_eval)."""
+
+    def __init__(self, keys):
+        self._keys = set(keys)
+
+    def __enter__(self):
+        _compile_owned.keys = self._keys
+        return self
+
+    def __exit__(self, *exc):
+        _compile_owned.keys = set()
+        return False
+
+
+def _owns_aot_key(key) -> bool:
+    return key in getattr(_compile_owned, "keys", ())
 
 
 @functools.lru_cache(maxsize=64)

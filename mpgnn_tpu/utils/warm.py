@@ -236,10 +236,14 @@ class ProgramWarmer:
 
         def build():
             try:
-                be.evaluate_candidates(
-                    graph, paths, split, num_classes, cfg, seed=seed,
-                    x_override=x_override, compile_only=True,
-                )
+                # mark the pre-registered keys as owned by this thread so
+                # the compile_only pass doesn't mistake its own unset
+                # events for another task's in-progress compile and skip
+                with be._owned_aot_keys(aot_keys):
+                    be.evaluate_candidates(
+                        graph, paths, split, num_classes, cfg, seed=seed,
+                        x_override=x_override, compile_only=True,
+                    )
             finally:
                 # groups the compile never reached (early failure) must not
                 # leave a real call blocked on an event nobody will set
