@@ -93,7 +93,13 @@ def main():
     cfg = SearchConfig(
         max_extension_hops=hops,
         bag_gap_inclusive=True,
-        mpgnn=MPGNNConfig(hidden_dim=args.hidden_dim, epochs=args.epochs),
+        # backend='auto' routes the batched final eval's KG-heavy length
+        # groups onto the scatter-free csr path (resolve_eval_backend) and
+        # single-model training past 1M edges/relation likewise — the whole
+        # point of this stress runner; the 'segment' default would pin the
+        # dominant phase to the entry-capped near-serial scatter batch
+        mpgnn=MPGNNConfig(hidden_dim=args.hidden_dim, epochs=args.epochs,
+                          backend="auto"),
     )
     from mpgnn_tpu.utils.warm import get_warmer
 

@@ -56,8 +56,12 @@ class MPGNNConfig:
     # dense normalized-adjacency MXU path when the involved relations'
     # [N, N] (A, A^T) pairs fit a conservative HBM budget (fastest at
     # reference scale, docs/DESIGN.md §2) and falls back to the O(E)
-    # segment path for larger graphs. The batched candidate eval supports
-    # segment/dense only and coerces the rest to segment (logged).
+    # segment path for larger graphs; past ~1M edges/relation both
+    # single-model training and the batched candidate eval route to the
+    # Pallas sorted-CSR kernel (loops.resolve_backend /
+    # batch_eval.resolve_eval_backend, the latter per length group). The
+    # batched eval supports segment/dense/csr/auto; single-model-only
+    # backends (ell/ell2/pallas/onehot) coerce to segment there (logged).
     backend: str = "segment"
     # Dropout-mask RNG: "threefry" (JAX default, deterministic across
     # backends) | "rbg" (XLA hardware RngBitGenerator) | "auto" (rbg on

@@ -100,8 +100,18 @@ _ET = _SUB * _LANE
 def _build_one_direction(
     rows: np.ndarray, cols: np.ndarray, weights: np.ndarray,
     num_rows: int, bm: int, et: int = _ET,
+    num_gather_rows: int | None = None,
 ) -> CsrBlocking:
+    """``num_gather_rows``: length of the array ``gidx`` will gather from
+    (= the valid index range for pad spreading). Defaults to ``num_rows``,
+    which is exact for square blockings; RECTANGULAR blockings must pass it
+    (the output row space and the gather source differ — an earlier
+    revision spread pads modulo ``num_rows`` there, silently relying on
+    XLA's out-of-bounds clamp + zero weight, and collapsing every clamped
+    pad read onto the last row's HBM channel)."""
     assert et == _ET, "edge tile is fixed by the TPU tile shape"
+    if num_gather_rows is None:
+        num_gather_rows = num_rows
     # primary sort: row block (each block owns a contiguous edge span);
     # secondary: COLUMN — the kernel is insensitive to edge order inside a
     # block (the one-hot routes each edge by its own local row), so ordering
@@ -122,7 +132,7 @@ def _build_one_direction(
     # hitting row 0 (2M pad reads of one row serialize on one HBM channel;
     # measured ~12% of the whole gather at 20% padding)
     gidx = (np.arange(ep + 1, dtype=np.int64)
-            % max(num_rows, 1)).astype(np.int32)
+            % max(num_gather_rows, 1)).astype(np.int32)
     local = np.zeros(ep, dtype=np.int32)
     wt = np.zeros(ep, dtype=np.float32)
     src_off = np.zeros(nb + 1, dtype=np.int64)
@@ -334,8 +344,10 @@ def build_rect_csr_blocking(
     cols = np.asarray(cols, dtype=np.int64)
     weights = np.asarray(weights, dtype=np.float32)
     bm = bm or _auto_bm(max(num_rows, 1), len(rows))
-    fwd = _build_one_direction(rows, cols, weights, num_rows, bm)
-    bwd = _build_one_direction(cols, rows, weights, num_cols, bm)
+    fwd = _build_one_direction(rows, cols, weights, num_rows, bm,
+                               num_gather_rows=num_cols)
+    bwd = _build_one_direction(cols, rows, weights, num_cols, bm,
+                               num_gather_rows=num_rows)
     return fwd, bwd
 
 

@@ -235,10 +235,13 @@ def build_halo_csr_operands(plan: HaloPlan):
             rows, cols, ew, S, S + h_tot, bm=bm,
         ))
 
-    def pad_stack(parts):
+    def pad_stack(parts, n_gather):
         """Stack CsrBlockings padded to one tile count. Pad tiles repeat
         the LAST tile_block id (non-decreasing -> no spurious accumulator
-        reset) with zero weights; the +1 gather-index tail stays last."""
+        reset) with zero weights; the +1 gather-index tail stays last.
+        ``n_gather`` bounds the spread pad indices: the fwd blockings
+        gather from the [S + H] exchanged buffer, the bwd ones from the
+        [S] cotangent — OOB pads would clamp onto one row."""
         t_max = max(b.local.shape[0] for b in parts)
         et = parts[0].edge_tile
         out = {"gidx": [], "local": [], "weight": [], "tile_block": []}
@@ -250,10 +253,18 @@ def build_halo_csr_operands(plan: HaloPlan):
             weight = np.asarray(b.weight)
             tb = np.asarray(b.tile_block)
             if pad_t:
+                # spread pad gather indices over the shard's gather space
+                # (zero weight makes the values irrelevant): constant-0 pads
+                # would serialize pad_t*et reads on row 0's HBM channel —
+                # the exact pathology _build_one_direction's arange-spread
+                # pads eliminate (ops/pallas_csr.py, measured ~12% of the
+                # gather at 20% padding); skewed meshes pad the SMALL shards
+                # hardest, so they would pay it where they can least afford
                 tail, body = gidx[-1:], gidx[:-1]
-                gidx = np.concatenate(
-                    [body, np.zeros(pad_t * et, np.int32), tail]
+                spread = (np.arange(pad_t * et) % max(n_gather, 1)).astype(
+                    np.int32
                 )
+                gidx = np.concatenate([body, spread, tail])
                 local = np.concatenate(
                     [local, np.zeros((pad_t,) + local.shape[1:], np.int32)]
                 )
@@ -269,8 +280,8 @@ def build_halo_csr_operands(plan: HaloPlan):
             out["tile_block"].append(tb)
         return tuple(jnp.asarray(np.stack(v)) for v in out.values())
 
-    fwd_arrays = pad_stack([f for f, _ in blks])
-    bwd_arrays = pad_stack([b for _, b in blks])
+    fwd_arrays = pad_stack([f for f, _ in blks], S + h_tot)
+    bwd_arrays = pad_stack([b for _, b in blks], S)
     statics = (S, h_tot, bm, blks[0][0].edge_tile)
     return statics, fwd_arrays + bwd_arrays
 

@@ -127,41 +127,23 @@ def _relation_ell_stack(
     return nbr, mask
 
 
-def _relation_segment_stack(
-    graph: HeteroGraph, relations: Sequence[int], e_pad: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Stack per-relation src-sorted edge lists to common [R, E_pad].
+def _relation_segment_stack_compact(
+    graph: HeteroGraph, relations: Sequence[int], e_pad: int, c_pad: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[np.ndarray]]:
+    """Stack per-relation src-sorted edge lists to common [R, e_pad],
+    remapped into each relation's COMPACT endpoint space.
 
     Sources are sorted ascending with FILE order preserved inside each
     source's run (rel_edges_csr is a stable sort), so 'minimum edge index
     among maxima' reproduces the reference's first-occurrence argmax
-    tie-break (model.py:85). Padding points at node N-1 with mask False,
-    keeping the segment ids sorted."""
-    R, N = len(relations), graph.num_nodes
-    src = np.full((R, e_pad), N - 1, dtype=np.int32)
-    dst = np.zeros((R, e_pad), dtype=np.int32)
-    mask = np.zeros((R, e_pad), dtype=bool)
-    for i, r in enumerate(relations):
-        s, d = graph.rel_edges_csr(int(r))
-        n = len(s)
-        src[i, :n] = s
-        dst[i, :n] = d
-        mask[i, :n] = True
-    return src, dst, mask
-
-
-def _relation_segment_stack_compact(
-    graph: HeteroGraph, relations: Sequence[int], e_pad: int, c_pad: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[np.ndarray]]:
-    """Compact-space twin of ``_relation_segment_stack``: per-relation
-    src-sorted edge lists remapped into each relation's endpoint space.
+    tie-break (model.py:85).
 
     Returns (src [R, e_pad], dst [R, e_pad], mask [R, e_pad], nodes) where
     ``nodes[i]`` is relation i's sorted unique endpoint array (compact id c
     ↔ global node nodes[i][c]). Remapping ``np.searchsorted(nodes, src)``
     is monotone, so the sorted-segment-id invariant of ``_seg_first_max``
     survives; pad edges point at compact row c_pad-1 (≥ every real id) with
-    mask False, exactly like the full-space stack's N-1 convention."""
+    mask False, keeping the segment ids sorted."""
     R = len(relations)
     src = np.full((R, e_pad), c_pad - 1, dtype=np.int32)
     dst = np.zeros((R, e_pad), dtype=np.int32)
@@ -918,9 +900,15 @@ def score_bag_tasks(
     # O(members), not O(B*M) dense-table lanes, docs/DESIGN.md §5)
     B, M, P = _bag_buckets(tasks)
 
+    # chunk layout is computed ONCE and shared between warming and
+    # execution: _instance_chunks derives its width cap from live free HBM
+    # (auto budget), so two separate calls straddling a device allocation
+    # could produce different chunkings — warming signatures the real
+    # chunks then never match, wasting the background compiles
+    chunks = _instance_chunks(graph, tasks, N)
+
     if warmer is not None:
-        # chunk signatures are a pure function of the (task, relation) pairs
-        for mode, pad, cpad, chunk in _instance_chunks(graph, tasks, N):
+        for mode, pad, cpad, chunk in chunks:
             warmer.warm_bag_signature(
                 len(chunk), N, pad, B, M, F, cfg.epochs_bags, cfg.lr,
                 mode=mode, C=cpad, P=P,
@@ -956,8 +944,6 @@ def score_bag_tasks(
             member_min_label=mml, is_member=np.isfinite(mml),
             mn=mn, mb=mb, mv=mv,
         ))
-
-    chunks = _instance_chunks(graph, tasks, N)
 
     results: Dict = {t[0]: {} for t in tasks}
     bound = 1.0 / np.sqrt(F)

@@ -29,6 +29,7 @@ from mpgnn_tpu.parallel.context import (
     shard_sweep_tree,
     sweep_devices,
 )
+from mpgnn_tpu.train import loops as _loops
 from mpgnn_tpu.train.loops import make_dropout_key, make_optimizer
 from mpgnn_tpu.train.metrics import macro_f1
 
@@ -161,7 +162,9 @@ def resolve_eval_backend(backend, cfg, graph, paths) -> str:
     max_e = max(
         (int(graph.rel_counts[int(r)]) for p in paths for r in p), default=0
     )
-    if max_e >= 1_000_000:
+    # read through the module so a monkeypatched loops.CSR_EDGE_CUTOVER
+    # (tests) governs training and eval routing consistently
+    if max_e >= _loops.CSR_EDGE_CUTOVER:
         return "csr"
     # even below the per-relation cutover, a wide-e_pad multi-candidate
     # group can only run the vmapped segment batch near-serialized (the
@@ -184,23 +187,26 @@ def eval_aot_keys(graph, paths, split, num_classes, cfg, seed):
     always finds the event (never duplicates the remote compile). Keys match
     whichever backend ``resolve_eval_backend`` will route the real call to."""
     cfg = cfg or MPGNNConfig()
-    backend = resolve_eval_backend(None, cfg, graph, paths)
     base_key = make_dropout_key(
         jax.random.PRNGKey(seed + 1), seed + 1, cfg.dropout_rng
     )
     by_len: Dict[int, List[List[int]]] = {}
     for p in paths:
         by_len.setdefault(len(p), []).append(list(p))
-    if backend == "csr":
-        cap = _csr_chunk_cap(graph, cfg)
-        return [
-            _aot_key_csr(graph, pad_batch_list(group[i:i + cap]), split,
-                         num_classes, cfg, str(base_key.dtype))
-            for _, group in sorted(by_len.items())
-            for i in range(0, len(group), cap)
-        ]
     keys = []
     for _, group in sorted(by_len.items()):
+        # the backend is resolved PER LENGTH GROUP, exactly like the real
+        # call under 'auto' (evaluate_candidates): a warm that keyed the
+        # whole final set at once could resolve differently than the real
+        # call's per-group routing and compile programs nobody consumes
+        if resolve_eval_backend(None, cfg, graph, group) == "csr":
+            cap = _csr_chunk_cap(graph, cfg)
+            keys.extend(
+                _aot_key_csr(graph, pad_batch_list(group[i:i + cap]), split,
+                             num_classes, cfg, str(base_key.dtype))
+                for i in range(0, len(group), cap)
+            )
+            continue
         # mirror evaluate_candidates' HBM chunking: all chunks of a group
         # share one program shape, so the first chunk's key covers it
         chunks, e_pad = _segment_chunks(graph, group, cfg)
@@ -332,7 +338,42 @@ def evaluate_candidates(
     in a background thread the moment that group's candidate set is final
     (its hop completed)."""
     backend_explicit = backend is not None
-    backend = resolve_eval_backend(backend, cfg, graph, paths)
+    raw = backend or (cfg.backend if cfg else "segment")
+    if raw == "auto":
+        # resolve PER LENGTH GROUP, not over the union: a final set mixing
+        # one KG-heavy group with small groups would otherwise drag every
+        # group onto one backend — and diverge from the warmer, which keys
+        # each group as its hop finishes (eval_aot_keys uses the same
+        # per-group resolution, so warmed executables always match)
+        by_len_auto: Dict[int, List[List[int]]] = {}
+        for p in paths:
+            by_len_auto.setdefault(len(p), []).append(list(p))
+        routed: Dict[str, List[List[int]]] = {"csr": [], "segment": []}
+        for _, group in sorted(by_len_auto.items()):
+            routed[resolve_eval_backend("auto", cfg, graph, group)].extend(
+                group
+            )
+        if routed["csr"] and routed["segment"]:
+            # candidate RNG positions are per-call: each subset seeds from
+            # its own path order (deterministic for a fixed path set, and
+            # bit-identical to an explicit-backend call on that subset)
+            out_mixed = evaluate_candidates(
+                graph, routed["csr"], split, num_classes, cfg, seed=seed,
+                x_override=x_override, backend="csr",
+                compile_only=compile_only,
+            )
+            out_mixed.update(evaluate_candidates(
+                graph, routed["segment"], split, num_classes, cfg, seed=seed,
+                x_override=x_override, backend="segment",
+                compile_only=compile_only,
+            ))
+            return out_mixed
+        # every group agreed: use the per-group decision (resolving over
+        # the UNION could flip it — e.g. small groups whose union crosses
+        # the e_pad cliff — and diverge from the per-group warm keys)
+        backend = "csr" if routed["csr"] else "segment"
+    else:
+        backend = resolve_eval_backend(backend, cfg, graph, paths)
     if backend not in ("dense", "segment", "csr"):
         # measured (v5e, 30 candidates x 1000 epochs, shipped-scale graph):
         # vmapped segment 13.0s vs grouped dense 16.6s — with the hop-0
@@ -836,6 +877,15 @@ def _evaluate_candidates_csr(
             aot_key = _aot_key_csr(graph, group, split, num_classes, cfg,
                                    str(base_key.dtype))
             if compile_only:
+                # same skip guard as the segment branch: a stored program
+                # or another task's in-progress compile (unset event this
+                # thread did NOT pre-register) means this chunk is covered
+                prior = _aot_inflight.get(aot_key)
+                if aot_key in _aot_store or (
+                    prior is not None and not prior.is_set()
+                    and not _owns_aot_key(aot_key)
+                ):
+                    continue
                 ev = _aot_inflight.setdefault(aot_key, threading.Event())
                 try:
                     _aot_store[aot_key] = run.lower(

@@ -46,6 +46,12 @@ AUTO_DENSE_BUDGET_BYTES = 4 << 30
 # occupy — the rest stays for activations, params, optimizer state and the
 # vmapped eval batches.
 AUTO_DENSE_FREE_FRACTION = 0.4
+# 'auto' edge-count cutover from the segment (XLA scatter) path to the
+# Pallas sorted-CSR kernel, for single-model training here and the batched
+# final eval (batch_eval.resolve_eval_backend): measured crossover on v5e —
+# the scatter collapses to 0.8 GB/s around 10M edges while csr holds, and
+# below ~1M edges/relation the blocking build isn't worth the host time.
+CSR_EDGE_CUTOVER = 1_000_000
 
 
 def auto_dense_budget_bytes(device=None) -> int:
@@ -96,7 +102,7 @@ def resolve_backend(
     # sorted-CSR kernel wins 7x there; below ~1M edges per relation the
     # segment path is fine and skips the host-side blocking build
     max_e = max((int(graph.rel_counts[r]) for r in uniq), default=0)
-    return "csr" if max_e >= 1_000_000 else "segment"
+    return "csr" if max_e >= CSR_EDGE_CUTOVER else "segment"
 
 
 def build_hop_arrays(

@@ -110,3 +110,32 @@ def test_csr_zero_degree_rows_zero():
     np.testing.assert_allclose(out[7:], 0.0)
     np.testing.assert_allclose(out[6], x[3])
     np.testing.assert_allclose(out[5], 0.5 * (x[1] + x[2]))
+
+
+def test_rect_blocking_pads_stay_in_gather_range():
+    """Rectangular blockings: pad gather indices must be spread within the
+    direction's ACTUAL gather source — the fwd blocking gathers from the
+    [num_cols] operand, the bwd one from the [num_rows] cotangent. An
+    earlier revision spread pads modulo the OUTPUT row space, so bwd pads
+    could exceed the cotangent length (silently clamped by XLA onto the
+    last row, re-serializing the pad reads the spread exists to avoid)."""
+    from mpgnn_tpu.ops.pallas_csr import build_rect_csr_blocking
+
+    rng = np.random.default_rng(0)
+    S, T = 96, 4096  # output rows much smaller than the gather space
+    rows = rng.integers(0, S, 300)
+    cols = rng.integers(0, T, 300)
+    w = rng.random(300).astype(np.float32)
+    fwd, bwd = build_rect_csr_blocking(rows, cols, w, S, T)
+    assert int(np.asarray(fwd.gidx).max()) < T
+    # bwd gathers from the [S]-row cotangent: every index (pads included)
+    # must stay in range without relying on clamp semantics
+    assert int(np.asarray(bwd.gidx).max()) < S
+    # pads are spread, not constant: with zero-weight slots excluded, the
+    # padded gidx should hit many distinct rows
+    bw = np.asarray(bwd.weight)
+    pad_idx = np.asarray(bwd.gidx)[:-1][bw == 0.0]
+    if len(pad_idx) > 10:
+        # spread covers most of the gather space (a constant pad would
+        # concentrate every slot on one row's HBM channel)
+        assert len(np.unique(pad_idx)) >= min(len(pad_idx), S) // 2

@@ -482,3 +482,44 @@ def test_evaluate_candidates_compile_only_shares_program(planted):
     assert after.hits >= before.hits + 2
     assert set(res) == {str(p) for p in paths}
     assert all(0.0 <= v <= 1.0 for v in res.values())
+
+
+def test_auto_eval_mixed_backend_routing(planted, monkeypatch):
+    """Under backend='auto' the batched eval resolves PER LENGTH GROUP: a
+    KG-heavy group routes to csr while small groups stay on segment, and
+    the mixed call returns exactly the union of the explicit per-subset
+    calls (each subset's RNG positions are its own path order). The warm
+    keys (eval_aot_keys) follow the same per-group routing, so warmed
+    executables always match what the real call runs."""
+    from mpgnn_tpu.train import batch_eval, loops
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=15, hidden_dim=8, backend="auto")
+    order = np.argsort(graph.rel_counts)
+    big = int(order[-1])
+    s0, s1 = int(order[0]), int(order[1])
+    assert graph.rel_counts[big] > graph.rel_counts[s1]
+    monkeypatch.setattr(loops, "CSR_EDGE_CUTOVER",
+                        int(graph.rel_counts[big]))
+    paths_csr = [[big]]
+    paths_seg = [[s0, s1]]
+    assert batch_eval.resolve_eval_backend(
+        None, cfg, graph, paths_csr) == "csr"
+    assert batch_eval.resolve_eval_backend(
+        None, cfg, graph, paths_seg) == "segment"
+    mixed = batch_eval.evaluate_candidates(
+        graph, paths_csr + paths_seg, split, 2, cfg, seed=3
+    )
+    a = batch_eval.evaluate_candidates(
+        graph, paths_csr, split, 2, cfg, seed=3, backend="csr"
+    )
+    b = batch_eval.evaluate_candidates(
+        graph, paths_seg, split, 2, cfg, seed=3, backend="segment"
+    )
+    assert mixed == {**a, **b}
+    keys = batch_eval.eval_aot_keys(
+        graph, paths_csr + paths_seg, split, 2, cfg, seed=3
+    )
+    kinds = {k[0] == "csr" for k in keys}
+    assert kinds == {True, False}
