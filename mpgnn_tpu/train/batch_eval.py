@@ -52,6 +52,15 @@ def _e_pad(graph: HeteroGraph, paths: Sequence[Sequence[int]], pad: int = 128) -
 _EVAL_VMAP_ENTRY_CAP = 16_000_000
 
 
+def _graph_cache(graph) -> dict:
+    """Per-graph host-side cache (blockings, chunk-cap snapshots)."""
+    cache = getattr(graph, "_dense_cache", None)
+    if cache is None:
+        cache = {}
+        graph._dense_cache = cache
+    return cache
+
+
 def _segment_chunk_cap(graph: HeteroGraph, group, cfg) -> int:
     """Max candidates per vmapped segment-eval program, from free HBM.
 
@@ -61,10 +70,11 @@ def _segment_chunk_cap(graph: HeteroGraph, group, cfg) -> int:
     stacks. An unchunked group OOMed compile at KG scale (C≈35 × ~550 MB =
     19.3 GB demanded of a 15.75 GB v5e), so the candidate axis is chunked
     by this conservative per-candidate estimate against the device's free
-    HBM. The cap rounds down to a power of two so a background AOT warm
-    (which sizes the budget at warm time) and the real call (at call time)
-    agree on the program shape except under >2x free-memory swings, where
-    the miss costs one recompile, never a wrong result.
+    HBM. The first computation per (graph, layout) is SNAPSHOTTED on the
+    graph's host cache: a background AOT warm and the later real call then
+    agree on the program shape by construction, even if device allocations
+    between the two change the live free-HBM reading (the warmed keys
+    would otherwise never match and the compiles be wasted).
     """
     from mpgnn_tpu.train.loops import (
         AUTO_DENSE_FREE_FRACTION,
@@ -74,13 +84,19 @@ def _segment_chunk_cap(graph: HeteroGraph, group, cfg) -> int:
     L = len(group[0])
     e_pad = _e_pad(graph, group)
     h = cfg.hidden_dim
+    cache = _graph_cache(graph)
+    key = ("seg_cap", L, e_pad, h)
+    if key in cache:
+        return cache[key]
     per = 4 * h * (8 * graph.num_nodes + 3 * L * e_pad) + 9 * L * e_pad
     free = auto_dense_budget_bytes() / AUTO_DENSE_FREE_FRACTION
     cap = max(1, int(free * 0.6 / max(per, 1)))
     # ... and by the vmapped-scatter entry cliff (see _EVAL_VMAP_ENTRY_CAP)
     cap = min(cap, max(1, _EVAL_VMAP_ENTRY_CAP // max(1, e_pad * h)))
     cap = 1 << (cap.bit_length() - 1)
-    return max(cap, sweep_devices())
+    cap = max(cap, sweep_devices())
+    cache[key] = cap
+    return cap
 
 
 def _segment_chunks(graph: HeteroGraph, group, cfg):
@@ -116,16 +132,24 @@ def _csr_chunk_cap(graph: HeteroGraph, cfg) -> int:
     [N, H] activation/grad/Adam working set alive across the fused epoch
     scan (~6 buffers). Calibration point: C=8 at N=500k / H=64 compiled
     and ran within a 16 GB v5e (BASELINE.md round 3 batched-eval table);
-    this estimate reproduces that operating point."""
+    this estimate reproduces that operating point. Snapshotted per
+    (graph, hidden_dim) so a background warm and the real call agree on
+    chunk layout regardless of free-HBM drift between them."""
     from mpgnn_tpu.train.loops import (
         AUTO_DENSE_FREE_FRACTION,
         auto_dense_budget_bytes,
     )
 
+    cache = _graph_cache(graph)
+    key = ("csr_cap", cfg.hidden_dim)
+    if key in cache:
+        return cache[key]
     per = 6 * graph.num_nodes * cfg.hidden_dim * 4
     free = auto_dense_budget_bytes() / AUTO_DENSE_FREE_FRACTION
     cap = max(1, int(free * 0.5 / max(per, 1)))
-    return 1 << (cap.bit_length() - 1)
+    cap = 1 << (cap.bit_length() - 1)
+    cache[key] = cap
+    return cap
 
 
 def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str,
@@ -514,6 +538,7 @@ def evaluate_candidates(
                         victim = next(iter(_aot_store))
                         _aot_store.pop(victim, None)
                         _aot_inflight.pop(victim, None)
+                        _aot_owner.pop(victim, None)
                 finally:
                     ev.set()
                 continue
@@ -553,6 +578,7 @@ def evaluate_candidates(
                     )
                     _aot_store.pop(aot_key, None)
                     _aot_inflight.pop(aot_key, None)
+                    _aot_owner.pop(aot_key, None)
                     val_f1 = run(*args)
             else:
                 val_f1 = run(*args)
@@ -575,6 +601,7 @@ def evaluate_candidates(
         for k in consumed_keys:
             _aot_store.pop(k, None)
             _aot_inflight.pop(k, None)
+            _aot_owner.pop(k, None)
     return out
 
 
@@ -587,32 +614,64 @@ _aot_inflight: Dict[tuple, "threading.Event"] = {}
 _AOT_STORE_CAP = 32  # executables are evicted after first use; this bounds
                      # warmed-but-never-consumed leftovers
 
-# AOT keys whose in-flight events THIS thread registered (the warmer
-# registers them synchronously on the submitting thread, then the pool
-# thread runs compile_only): without this, the compile_only pass would see
-# its own unset event as "another compile in progress" and skip — leaving
-# the store empty and the events set over nothing.
+# Ownership of in-flight AOT compiles. The warmer pre-registers events
+# SYNCHRONOUSLY on the submitting thread, then a pool thread runs the
+# compile_only pass: without ownership tracking, that pass would see its
+# own unset event as "another compile in progress" and skip — leaving the
+# store empty and the events set over nothing. Ownership is recorded PER
+# KEY at event pre-registration time (`claim_aot_keys`): when two warm
+# tasks' key sets overlap, only the task that actually created a key's
+# event owns it, so exactly one of them compiles it and the other skips —
+# a membership-set scheme let both pass the guard and launch duplicate
+# 20-577s remote compiles.
+_aot_owner: Dict[tuple, int] = {}
+_aot_token = iter(range(1, 1 << 62)).__next__
 _compile_owned = threading.local()
 
 
-class _owned_aot_keys:
-    """Context manager marking ``keys`` as owned by the current thread's
-    compile_only pass (see ProgramWarmer.warm_eval)."""
+def claim_aot_keys(keys):
+    """Pre-register in-flight events for ``keys`` (called on the submitting
+    thread, under no lock — dict ops are atomic enough here) and return
+    ``(token, owned_events)``: ``token`` identifies the owning warm task
+    and must be passed to ``_owned_aot_keys`` around the compile_only pass.
+    Only keys whose event THIS call created are owned by the token, and
+    only THOSE events are returned — the owner is responsible for setting
+    them (backstop on early failure); events another task registered are
+    that task's to set, and setting them here would release real-call
+    waiters onto an empty store mid-compile."""
+    token = _aot_token()
+    owned_events = []
+    for k in keys:
+        if k not in _aot_inflight:
+            ev = _aot_inflight.setdefault(k, threading.Event())
+            # first registrant wins ownership (setdefault is atomic)
+            if _aot_owner.setdefault(k, token) == token:
+                owned_events.append(ev)
+    return token, owned_events
 
-    def __init__(self, keys):
-        self._keys = set(keys)
+
+class _owned_aot_keys:
+    """Context manager binding the current thread's compile_only pass to
+    the warm task ``token`` returned by ``claim_aot_keys``; saves and
+    restores the previous binding (nest-safe)."""
+
+    def __init__(self, token: int):
+        self._token = token
+        self._prev = None
 
     def __enter__(self):
-        _compile_owned.keys = self._keys
+        self._prev = getattr(_compile_owned, "token", None)
+        _compile_owned.token = self._token
         return self
 
     def __exit__(self, *exc):
-        _compile_owned.keys = set()
+        _compile_owned.token = self._prev
         return False
 
 
 def _owns_aot_key(key) -> bool:
-    return key in getattr(_compile_owned, "keys", ())
+    tok = getattr(_compile_owned, "token", None)
+    return tok is not None and _aot_owner.get(key) == tok
 
 
 @functools.lru_cache(maxsize=64)
@@ -705,56 +764,90 @@ def _eval_program(
     return run
 
 
+# Epochs per csr batched-eval DISPATCH. One 1000-epoch C=32 program ran a
+# single device execution of ~20+ minutes, which the image's TPU tunnel
+# worker does not survive (deterministic "kernel fault" worker crash with
+# no warmer and no concurrency, round-4 probe benchmarks/
+# probe_kg_csr_fault.py: C=32/epochs=30 ok, C=32/epochs=1000 crash). The
+# epoch scan is therefore split into blocks of this size; the carry
+# (params + Adam state) stays on device between dispatches, PRNG folds use
+# GLOBAL epoch indices, so block-chunked == single-program bit-for-bit.
+import os as _os
+
+_CSR_EVAL_EPOCH_BLOCK = int(_os.environ.get("MPGNN_EVAL_EPOCH_BLOCK", "100"))
+
+
+def _csr_epoch_blocks(epochs: int) -> List[int]:
+    b = max(1, _CSR_EVAL_EPOCH_BLOCK)
+    out = [b] * (epochs // b)
+    if epochs % b:
+        out.append(epochs % b)
+    return out or [0]
+
+
 @functools.lru_cache(maxsize=64)
-def _eval_program_csr(
-    L: int, C: int, epochs: int, lr: float, weight_decay: float,
+def _eval_programs_csr(
+    L: int, C: int, block: int, lr: float, weight_decay: float,
     dropout: float, num_classes: int,
 ):
-    """One shared jitted csr batched-eval program per static signature.
+    """csr batched-eval programs for ONE epoch block size.
 
-    Candidates train simultaneously inside ONE epoch scan whose body holds
-    every candidate's step; each candidate's per-hop aggregation is a
-    ``csr_mean_aggregate`` call against that hop relation's blocking
-    (scalar-prefetched Pallas kernels cannot be vmapped, and each call
-    already carries a multi-thousand-tile grid, so the per-candidate unroll
-    costs launch-overhead noise). Candidates that share a relation pass the
-    SAME blocking buffers — no HBM duplication. Blockings, params, keys and
-    split arrays all enter as jit ARGUMENTS (no embedded constants)."""
+    Returns ``(init_carry, run_block, finalize)``:
+
+    * ``init_carry(params_list)`` -> per-candidate (params, opt_state);
+    * ``run_block(carry, e0, hop_blks, drop_keys, x, train_idx, train_y)``
+      runs ``block`` epochs starting at GLOBAL epoch ``e0`` (the dropout
+      fold uses e0+i, so any block partition reproduces the single-scan
+      stream exactly) and returns the carry — one bounded device dispatch;
+    * ``finalize(carry, hop_blks, drop_keys, x, val_idx, val_y)`` -> [C]
+      validation macro-F1s.
+
+    Candidates train simultaneously inside the block's epoch scan; each
+    candidate's per-hop aggregation is a ``csr_mean_aggregate`` call
+    against that hop relation's blocking (scalar-prefetched Pallas kernels
+    cannot be vmapped, and each call already carries a multi-thousand-tile
+    grid, so the per-candidate unroll costs launch-overhead noise).
+    Candidates that share a relation pass the SAME blocking buffers — no
+    HBM duplication. Blockings, params, keys and split arrays all enter as
+    jit ARGUMENTS (no embedded constants)."""
     from mpgnn_tpu.config import MPGNNConfig as _Cfg
     from mpgnn_tpu.ops.pallas_csr import csr_mean_aggregate
 
     tx = make_optimizer(_Cfg(lr=lr, weight_decay=weight_decay))
 
-    @jax.jit
-    def run(params_list, hop_blks, drop_keys, x,
-            train_idx, train_y, val_idx, val_y):
-        def forward(p, c, rng, train, agg0):
-            h = x
-            for j in range(L):
-                conv = p.convs[0][j]
-                # hop 0 aggregates the constant input features: cached
-                # outside the epoch scan (epoch-invariant), like the
-                # segment path's agg0
-                if j == 0:
-                    agg = agg0
-                else:
-                    fwd, bwd = hop_blks[j][c]
-                    agg = csr_mean_aggregate(h, fwd, bwd)
-                h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
-                if train and dropout > 0:
-                    k = jax.random.fold_in(rng, j)
-                    keep = jax.random.bernoulli(k, 1 - dropout, h.shape)
-                    h = jnp.where(keep, h / (1 - dropout), 0.0)
-            h = jax.nn.relu(h @ p.fc1.w + p.fc1.b)
-            h = h @ p.fc2.w + p.fc2.b
-            return jax.nn.log_softmax(h, axis=1)
+    def forward(p, c, rng, train, agg0, hop_blks, x):
+        h = x
+        for j in range(L):
+            conv = p.convs[0][j]
+            # hop 0 aggregates the constant input features: computed once
+            # per block outside the epoch scan (epoch-invariant; the
+            # recompute per block is L+1 aggregations vs block*L*2 inside)
+            if j == 0:
+                agg = agg0
+            else:
+                fwd, bwd = hop_blks[j][c]
+                agg = csr_mean_aggregate(h, fwd, bwd)
+            h = jax.nn.relu(agg @ conv.weight + h @ conv.root + conv.bias)
+            if train and dropout > 0:
+                k = jax.random.fold_in(rng, j)
+                keep = jax.random.bernoulli(k, 1 - dropout, h.shape)
+                h = jnp.where(keep, h / (1 - dropout), 0.0)
+        h = jax.nn.relu(h @ p.fc1.w + p.fc1.b)
+        h = h @ p.fc2.w + p.fc2.b
+        return jax.nn.log_softmax(h, axis=1)
 
-        agg0s = [
-            csr_mean_aggregate(x, *hop_blks[0][c]) for c in range(C)
-        ]
+    def agg0s_of(hop_blks, x):
+        return [csr_mean_aggregate(x, *hop_blks[0][c]) for c in range(C)]
+
+    def init_carry(params_list):
+        return tuple((p, tx.init(p)) for p in params_list)
+
+    @jax.jit
+    def run_block(carry, e0, hop_blks, drop_keys, x, train_idx, train_y):
+        agg0s = agg0s_of(hop_blks, x)
 
         def loss_fn(p, c, rng, agg0):
-            logp = forward(p, c, rng, True, agg0)[train_idx]
+            logp = forward(p, c, rng, True, agg0, hop_blks, x)[train_idx]
             return -jnp.mean(
                 jnp.take_along_axis(logp, train_y[:, None], axis=1)
             )
@@ -778,20 +871,24 @@ def _eval_program_csr(
                 tok = loss
             return tuple(nxt), 0.0
 
-        carry0 = tuple((p, tx.init(p)) for p in params_list)
-        carry, _ = jax.lax.scan(epoch, carry0, jnp.arange(epochs))
+        carry, _ = jax.lax.scan(epoch, carry, e0 + jnp.arange(block))
+        return carry
+
+    @jax.jit
+    def finalize(carry, hop_blks, drop_keys, x, val_idx, val_y):
+        agg0s = agg0s_of(hop_blks, x)
         f1s = []
         tok = jnp.zeros((), jnp.float32)
         for c in range(C):
             p, _ = carry[c]
             p, tok = jax.lax.optimization_barrier((p, tok))
-            outp = forward(p, c, drop_keys[c], False, agg0s[c])
+            outp = forward(p, c, drop_keys[c], False, agg0s[c], hop_blks, x)
             preds = jnp.argmax(outp, axis=1)
             f1s.append(macro_f1(preds[val_idx], val_y, num_classes))
             tok = f1s[-1].astype(jnp.float32)
         return jnp.stack(f1s)
 
-    return run
+    return init_carry, run_block, finalize
 
 
 def _evaluate_candidates_csr(
@@ -813,8 +910,7 @@ def _evaluate_candidates_csr(
     val_idx = jnp.asarray(split.val_idx)
     val_y = jnp.asarray(split.val_y)
 
-    dense_cache: dict = getattr(graph, "_dense_cache", None) or {}
-    graph._dense_cache = dense_cache
+    dense_cache = _graph_cache(graph)
 
     def blocking(rel: int):
         key = ("csr", int(rel))
@@ -868,12 +964,27 @@ def _evaluate_candidates_csr(
             drop_keys = jax.vmap(jax.random.fold_in, (None, 0))(
                 base_key, off + jnp.arange(C)
             )
-            run = _eval_program_csr(
-                L, C, cfg.epochs, cfg.lr, cfg.weight_decay, cfg.dropout,
-                num_classes,
-            )
-            args = (params_list, hop_blks, drop_keys, x,
-                    train_idx, train_y, val_idx, val_y)
+            # the epoch scan runs as BOUNDED dispatches of
+            # _CSR_EVAL_EPOCH_BLOCK epochs (one unbounded 1000-epoch
+            # dispatch crashed the TPU tunnel worker; see the constant);
+            # the (params, Adam) carry stays on device between blocks
+            blocks = _csr_epoch_blocks(cfg.epochs)
+            progs = {
+                b: _eval_programs_csr(
+                    L, C, b, cfg.lr, cfg.weight_decay, cfg.dropout,
+                    num_classes,
+                )
+                for b in sorted(set(blocks))
+            }
+            init_carry, _, finalize = progs[blocks[0]]
+
+            def abs_of(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                    if hasattr(a, "shape") else a,
+                    tree,
+                )
+
             aot_key = _aot_key_csr(graph, group, split, num_classes, cfg,
                                    str(base_key.dtype))
             if compile_only:
@@ -888,41 +999,93 @@ def _evaluate_candidates_csr(
                     continue
                 ev = _aot_inflight.setdefault(aot_key, threading.Event())
                 try:
-                    _aot_store[aot_key] = run.lower(
-                        *jax.tree_util.tree_map(
-                            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-                            if hasattr(a, "shape") else a,
-                            args,
-                        )
+                    carry_abs = jax.eval_shape(
+                        init_carry, abs_of(params_list)
+                    )
+                    e0_abs = jax.ShapeDtypeStruct((), jnp.int32)
+                    execs = {
+                        ("block", b): rb.lower(
+                            carry_abs, e0_abs,
+                            *abs_of((hop_blks, drop_keys, x,
+                                     train_idx, train_y)),
+                        ).compile()
+                        for b, (_ic, rb, _f) in progs.items()
+                    }
+                    execs["final"] = finalize.lower(
+                        carry_abs,
+                        *abs_of((hop_blks, drop_keys, x, val_idx, val_y)),
                     ).compile()
+                    _aot_store[aot_key] = execs
                     while len(_aot_store) > _AOT_STORE_CAP:
                         victim = next(iter(_aot_store))
                         _aot_store.pop(victim, None)
                         _aot_inflight.pop(victim, None)
+                        _aot_owner.pop(victim, None)
                 finally:
                     ev.set()
                 continue
             ev = _aot_inflight.get(aot_key)
             if ev is not None and not ev.is_set():
                 ev.wait(timeout=900)
-            compiled = _aot_store.get(aot_key)
-            if compiled is not None:
-                try:
-                    val_f1 = compiled(*args)
-                    _aot_store.pop(aot_key, None)
-                    _aot_inflight.pop(aot_key, None)
-                except (TypeError, ValueError) as e:
-                    import logging
+            execs = _aot_store.get(aot_key)
 
-                    logging.getLogger("mpgnn_tpu.batch_eval").warning(
-                        "AOT-warmed csr eval executable rejected its arguments "
-                        "(%s); recompiling this group", e,
+            def _reject(e):
+                import logging
+
+                logging.getLogger("mpgnn_tpu.batch_eval").warning(
+                    "AOT-warmed csr eval executable rejected its arguments "
+                    "(%s); recompiling this group", e,
+                )
+                _aot_store.pop(aot_key, None)
+                _aot_inflight.pop(aot_key, None)
+                _aot_owner.pop(aot_key, None)
+
+            import logging
+            import time as _time
+
+            blog = logging.getLogger("mpgnn_tpu.batch_eval")
+            carry = init_carry(params_list)
+            e0 = 0
+            for bi, b in enumerate(blocks):
+                e0_arr = jnp.asarray(e0, jnp.int32)
+                bargs = (carry, e0_arr, hop_blks, drop_keys, x,
+                         train_idx, train_y)
+                rb_exec = execs.get(("block", b)) if execs else None
+                t_blk = _time.time()
+                if rb_exec is not None:
+                    try:
+                        carry = rb_exec(*bargs)
+                    except (TypeError, ValueError) as e:
+                        _reject(e)
+                        execs = None
+                        carry = progs[b][1](*bargs)
+                else:
+                    carry = progs[b][1](*bargs)
+                e0 += b
+                # sync per block: bounds outstanding device work to one
+                # dispatch and makes the progress line truthful
+                jax.block_until_ready(
+                    jax.tree_util.tree_leaves(carry)[0]
+                )
+                if len(blocks) > 1:
+                    blog.info(
+                        "    csr eval epochs %d/%d (block %d/%d, %.1fs)",
+                        e0, cfg.epochs, bi + 1, len(blocks),
+                        _time.time() - t_blk,
                     )
+            fargs = (carry, hop_blks, drop_keys, x, val_idx, val_y)
+            fin_exec = execs.get("final") if execs else None
+            if fin_exec is not None:
+                try:
+                    val_f1 = fin_exec(*fargs)
                     _aot_store.pop(aot_key, None)
                     _aot_inflight.pop(aot_key, None)
-                    val_f1 = run(*args)
+                    _aot_owner.pop(aot_key, None)
+                except (TypeError, ValueError) as e:
+                    _reject(e)
+                    val_f1 = finalize(*fargs)
             else:
-                val_f1 = run(*args)
+                val_f1 = finalize(*fargs)
             # pad entries' global key positions differ from the real
             # occurrence: drop them rather than leak pad-seeded results
             for p, f in zip(group[:n_real], np.asarray(val_f1)[:n_real]):

@@ -226,20 +226,17 @@ class ProgramWarmer:
         # worker is still busy must find the event and wait on it rather
         # than duplicate the 20-577s remote compile. Registration happens
         # only on a fresh claim — a consumed warm's popped events must not
-        # be resurrected as events nobody will set.
-        import threading as _threading
-
-        events = [
-            be._aot_inflight.setdefault(k, _threading.Event())
-            for k in aot_keys
-        ]
+        # be resurrected as events nobody will set. claim_aot_keys records
+        # per-key ownership: when two warm tasks' key sets overlap, only
+        # the task that created a key's event compiles it.
+        token, events = be.claim_aot_keys(aot_keys)
 
         def build():
             try:
-                # mark the pre-registered keys as owned by this thread so
-                # the compile_only pass doesn't mistake its own unset
+                # bind this pool thread to the pre-registered keys it owns
+                # so the compile_only pass doesn't mistake its own unset
                 # events for another task's in-progress compile and skip
-                with be._owned_aot_keys(aot_keys):
+                with be._owned_aot_keys(token):
                     be.evaluate_candidates(
                         graph, paths, split, num_classes, cfg, seed=seed,
                         x_override=x_override, compile_only=True,

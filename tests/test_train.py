@@ -326,6 +326,57 @@ def test_batched_eval_csr_chunking_matches_unchunked(planted, monkeypatch):
         np.testing.assert_allclose(chunked[str(p)], full[str(p)], atol=1e-5)
 
 
+def test_batched_eval_csr_epoch_blocks_match_single(planted, monkeypatch):
+    """Splitting the csr eval's epoch scan into bounded dispatches (the
+    round-4 fix for the TPU-tunnel worker crash on one ~20-minute
+    1000-epoch dispatch) must reproduce the single-dispatch results: the
+    carry stays on device and dropout folds use GLOBAL epoch indices, so
+    any block partition (including one with a remainder block) is
+    bit-for-bit the same training stream."""
+    from mpgnn_tpu.train import batch_eval
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=25, hidden_dim=8)
+    paths = [[1, 0], [2, 3]]
+    single = evaluate_candidates(graph, paths, split, 2, cfg, seed=4,
+                                 backend="csr")
+    monkeypatch.setattr(batch_eval, "_CSR_EVAL_EPOCH_BLOCK", 10)
+    blocked = evaluate_candidates(graph, paths, split, 2, cfg, seed=4,
+                                  backend="csr")  # blocks 10+10+5
+    for p in paths:
+        np.testing.assert_allclose(blocked[str(p)], single[str(p)],
+                                   atol=1e-6)
+
+
+def test_batched_eval_csr_compile_only_epoch_blocks(planted, monkeypatch):
+    """compile_only warms every block-size program + the finalize program;
+    the real blocked call consumes them (no fallback recompiles)."""
+    from mpgnn_tpu.train import batch_eval
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=25, hidden_dim=8)
+    paths = [[1, 0], [2, 3]]
+    monkeypatch.setattr(batch_eval, "_CSR_EVAL_EPOCH_BLOCK", 10)
+    evaluate_candidates(graph, paths, split, 2, cfg, seed=9, backend="csr",
+                        compile_only=True)
+    key = batch_eval._aot_key_csr(
+        graph, paths, split, 2, cfg,
+        str(batch_eval.make_dropout_key(
+            __import__("jax").random.PRNGKey(10), 10, cfg.dropout_rng).dtype),
+    )
+    execs = batch_eval._aot_store.get(key)
+    assert execs is not None
+    assert set(execs) == {("block", 10), ("block", 5), "final"}
+    res = evaluate_candidates(graph, paths, split, 2, cfg, seed=9,
+                              backend="csr")
+    assert key not in batch_eval._aot_store  # consumed
+    assert set(res) == {str(p) for p in paths}
+
+
 def test_resolve_eval_backend_entry_cliff(planted):
     """'auto' routes a wide-e_pad multi-candidate group to csr even below
     the 1M-edges/relation cutover: the vmapped segment batch would run
