@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--max_hops", type=int, default=None,
                     help="extension hops; default = planted length - 1")
     ap.add_argument("--no_warmer", action="store_true")
+    ap.add_argument("--max_extensions_per_state", type=int, default=None,
+                    help="bounded-frontier beam width (None = reference "
+                         "parity; the 237-relation KG's faithful cut keeps "
+                         "236/237 hop-1 extensions and cannot finish)")
     ap.add_argument("--frontier", type=str, default=None,
                     help="frontier checkpoint path: the search resumes "
                          "from the last completed hop after a crash/stall "
@@ -93,6 +97,7 @@ def main():
     cfg = SearchConfig(
         max_extension_hops=hops,
         bag_gap_inclusive=True,
+        max_extensions_per_state=args.max_extensions_per_state,
         # backend='auto' routes the batched final eval's KG-heavy length
         # groups onto the scatter-free csr path (resolve_eval_backend) and
         # single-model training past 1M edges/relation likewise — the whole
@@ -126,6 +131,7 @@ def main():
         "final_metapaths": [list(p) for p in res.metapaths],
         "test_f1": round(res.test_f1, 4),
         "candidates_evaluated": len(discovered),
+        "max_extensions_per_state": args.max_extensions_per_state,
         "load_s": round(t_load, 1),
         "search_wall_s": round(wall, 1),
     }

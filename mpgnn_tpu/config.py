@@ -98,6 +98,17 @@ class SearchConfig:
     # upstream bug that blocks extension exactly when one relation clearly
     # wins); True = hop-0-style <= cut (recommended for >= 4-relation data)
     bag_gap_inclusive: bool = False
+    # Bounded frontier (documented divergence, like bag_gap_inclusive):
+    # after each gap cut keep at most this many lowest-loss survivors per
+    # state (None = reference parity: keep every survivor). The reference's
+    # faithful np.diff cut can keep essentially ALL candidates — on a
+    # 237-relation power-law KG it kept 236/237 hop-1 extensions (the
+    # largest gap sat under the single worst relation, main.py:1410-1424),
+    # fanning hop 2 out to ~56k (state, relation) instances that neither
+    # the reference nor any faithful port would finish. A beam cap makes
+    # many-relation searches terminate; planted-path recovery is unaffected
+    # whenever the true relation scores in the top-k (it scores loss≈0).
+    max_extensions_per_state: Optional[int] = None
     top_k_final: int = 3                 # main.py:1465 (best 3 metapaths by val F1)
     seed: int = 30                       # main.py:31-32 (torch.manual_seed(30))
     split_seed: int = 415                # main.py:293 (train_test_split random_state)

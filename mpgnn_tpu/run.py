@@ -67,6 +67,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(fixes the reference's strict-< cut that blocks "
                         "extension when one relation clearly wins; "
                         "18/18 vs 6/18 planted-path recovery, BASELINE.md)")
+    p.add_argument("--max_extensions_per_state", type=int, default=None,
+                   help="bounded-frontier beam: keep at most this many "
+                        "lowest-loss gap-cut survivors per state (default "
+                        "None = reference parity — the faithful np.diff "
+                        "cut, which on many-relation vocabularies can keep "
+                        "nearly every candidate and blow the fan-out up; "
+                        "SearchConfig.max_extensions_per_state)")
     p.add_argument("--top_k_final", type=int, default=3,
                    help="how many top-val-F1 metapaths enter the greedy "
                         "test accumulation (reference: 3, main.py:1465)")
@@ -149,6 +156,7 @@ def main(argv=None):
     cfg = SearchConfig(
         max_extension_hops=args.max_hops,
         bag_gap_inclusive=args.bag_gap_inclusive,
+        max_extensions_per_state=args.max_extensions_per_state,
         top_k_final=args.top_k_final,
         mpgnn=MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim,
                           compute_dtype=args.compute_dtype,

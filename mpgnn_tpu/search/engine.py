@@ -54,6 +54,24 @@ class MetapathState:
     source_nodes: List[int]
 
 
+def _cap_frontier(survivors, cfg: SearchConfig, where: str, path_s: str):
+    """Bounded-frontier beam (SearchConfig.max_extensions_per_state): keep
+    the k lowest-loss gap-cut survivors per state. A documented divergence
+    from the reference (alongside bag_gap_inclusive): its faithful np.diff
+    cut kept 236/237 hop-1 extensions on a 237-relation power-law KG —
+    a fan-out neither it nor a faithful port would ever finish."""
+    k = cfg.max_extensions_per_state
+    if k is None or len(survivors) <= k:
+        return survivors
+    kept = sorted(survivors, key=lambda rl: rl[1])[:k]
+    log.info(
+        "%s, path %s: frontier cap binds — keeping %d/%d lowest-loss "
+        "extensions %s", where, path_s, k, len(survivors),
+        [r for r, _ in kept],
+    )
+    return kept
+
+
 @dataclasses.dataclass
 class SearchResult:
     metapaths: List[List[int]]          # greedy-selected final set
@@ -148,6 +166,7 @@ def find_metapaths(
         )
         items = [(r, flat[r].loss) for r in candidates]
         survivors = bagmod.flat_gap_selection(items)
+        survivors = _cap_frontier(survivors, cfg, "hop 0", "[]")
         log.info(
             "hop-0 losses: %s -> survivors %s (%.1fs)",
             {r: round(l, 4) for r, l in items},
@@ -247,6 +266,9 @@ def find_metapaths(
             survivors = bagmod.bag_gap_selection(
                 [(s.relation, s.loss) for s in valid],
                 inclusive=cfg.bag_gap_inclusive,
+            )
+            survivors = _cap_frontier(
+                survivors, cfg, f"hop {k + 1}", str(state.path)
             )
             surv_rels = {r for r, _ in survivors}
             log.info(

@@ -326,3 +326,49 @@ def test_search_recovers_planted_path_on_powerlaw_kg():
     assert planted in [list(p) for p in res.discovered]
     assert res.metapaths == [planted]
     assert res.test_f1 >= 0.95
+
+
+def test_bounded_frontier_cap_recovers_planted_path():
+    """max_extensions_per_state=1 (the tightest beam) still recovers the
+    planted metapath — it scores loss≈0, so it survives every lowest-loss
+    cut — while provably bounding the per-state fan-out. The cap is the
+    round-4 answer to many-relation KGs where the reference's faithful
+    np.diff cut keeps nearly every candidate (SearchConfig docstring)."""
+    g = generate_synthetic_graph(
+        1200, 4, "red-red-blue", overlap=0, shared_relations=0, seed=11
+    )
+    planted = g["metapath_relations"]
+    graph = HeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"], g["rel"],
+        num_relations=4, labels=g["labels"],
+    )
+    split = split_nodes(g["labels"])
+    cfg = SearchConfig(
+        mpgnn=MPGNNConfig(epochs=120, hidden_dim=32),
+        scorer=ScorerConfig(max_restarts=4),
+        max_extension_hops=1,
+        bag_gap_inclusive=True,
+        max_extensions_per_state=1,
+    )
+    res = find_metapaths(
+        graph, g["labels"].astype(np.float32), split, num_classes=2,
+        config=cfg, dataset="synthetic", seed=0,
+    )
+    assert planted in [list(p) for p in res.discovered]
+    # beam width 1 from a single hop-0 survivor: at most 1 seed + 1
+    # extension enters the candidate set
+    assert len(res.discovered) <= 2
+
+
+def test_cap_frontier_keeps_lowest_loss():
+    """_cap_frontier keeps the k lowest-loss survivors (stable under ties)
+    and is the identity when the cap is off or not binding."""
+    from mpgnn_tpu.search.engine import _cap_frontier
+
+    items = [(7, 0.5), (3, 0.0), (9, 0.25), (1, 0.25)]
+    cfg_off = SearchConfig()
+    assert _cap_frontier(items, cfg_off, "hop 1", "[x]") == items
+    cfg2 = SearchConfig(max_extensions_per_state=2)
+    assert _cap_frontier(items, cfg2, "hop 1", "[x]") == [(3, 0.0), (9, 0.25)]
+    cfg9 = SearchConfig(max_extensions_per_state=9)
+    assert _cap_frontier(items, cfg9, "hop 1", "[x]") == items
