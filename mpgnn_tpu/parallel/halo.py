@@ -202,13 +202,23 @@ def build_halo_csr_operands(plan: HaloPlan):
     north-star scale that is the same scatter wall the csr kernel was built
     to kill (docs/DESIGN.md §2) — and BASELINE.md's projected-ICI table
     anchors per-chip compute to the csr rate, so the halo path should
-    actually run it. Each shard gets a rectangular blocking (rows = its S
-    local sources; gather columns = slots into concat(local block, halo));
-    shards pad to one common tile count so the stacked arrays shard_map
-    cleanly. Returns (statics, arrays):
+    actually run it.
 
-      statics = (S, halo_rows, block_rows, edge_tile)
-      arrays  = (fwd gidx/local/weight/tile_block, bwd ...), each [P, ...]
+    Each shard's edges are SPLIT into a LOCAL blocking (destination owned
+    by the shard: rows = its S sources, gather columns = the [S] local
+    block) and a HALO blocking (gather columns = the [H] exchanged
+    buffer). The mean's 1/deg weights use the TOTAL row degree, so the two
+    kernels' outputs simply add. The split is what makes comm/compute
+    overlap possible: the local kernel depends only on the shard's own
+    feature block and is schedulable DURING the exchange, where the round-3
+    formulation ran one rectangular kernel over concat(local, halo) that
+    could not start until the last collective round landed (VERDICT r3
+    item 4). Shards pad to one common tile count so the stacked arrays
+    shard_map cleanly. Returns (statics, arrays):
+
+      statics = (S, halo_rows, local bm, halo bm, edge_tile)
+      arrays  = (local fwd gidx/local/weight/tile_block, local bwd ...,
+                 halo fwd ..., halo bwd ...), each [P, ...]
     """
     from mpgnn_tpu.ops.pallas_csr import _auto_bm, build_rect_csr_blocking
 
@@ -217,22 +227,29 @@ def build_halo_csr_operands(plan: HaloPlan):
         h_tot = P * plan.halo_max
     else:
         h_tot = int(sum(plan.round_sizes))
-    h_tot = max(h_tot, 1)   # concat(local, halo) needs >=1 halo row
+    h_tot = max(h_tot, 1)   # the halo buffer needs >=1 row
 
     e_src = np.asarray(plan.edge_src_local)
     e_slot = np.asarray(plan.edge_dst_slot)
     e_mask = np.asarray(plan.edge_mask)
     worst_e = int(e_mask.sum(axis=1).max()) if e_mask.size else 0
     bm = _auto_bm(S, worst_e)
-    blks = []
+    loc_blks, halo_blks = [], []
     for p in range(P):
         real = e_mask[p]
         rows = e_src[p][real].astype(np.int64)
         cols = e_slot[p][real].astype(np.int64)
+        # mean weights over the TOTAL degree (local + remote edges), so
+        # the split kernels' partial sums add to the full mean
         deg = np.bincount(rows, minlength=S).astype(np.float32)
         ew = (1.0 / np.maximum(deg, 1.0))[rows]
-        blks.append(build_rect_csr_blocking(
-            rows, cols, ew, S, S + h_tot, bm=bm,
+        is_local = cols < S
+        loc_blks.append(build_rect_csr_blocking(
+            rows[is_local], cols[is_local], ew[is_local], S, S, bm=bm,
+        ))
+        halo_blks.append(build_rect_csr_blocking(
+            rows[~is_local], cols[~is_local] - S, ew[~is_local],
+            S, h_tot, bm=bm,
         ))
 
     def pad_stack(parts, n_gather):
@@ -280,10 +297,13 @@ def build_halo_csr_operands(plan: HaloPlan):
             out["tile_block"].append(tb)
         return tuple(jnp.asarray(np.stack(v)) for v in out.values())
 
-    fwd_arrays = pad_stack([f for f, _ in blks], S + h_tot)
-    bwd_arrays = pad_stack([b for _, b in blks], S)
-    statics = (S, h_tot, bm, blks[0][0].edge_tile)
-    return statics, fwd_arrays + bwd_arrays
+    lf_arrays = pad_stack([f for f, _ in loc_blks], S)
+    lb_arrays = pad_stack([b for _, b in loc_blks], S)
+    hf_arrays = pad_stack([f for f, _ in halo_blks], h_tot)
+    hb_arrays = pad_stack([b for _, b in halo_blks], S)
+    et = loc_blks[0][0].edge_tile
+    statics = (S, h_tot, bm, bm, et)
+    return statics, lf_arrays + lb_arrays + hf_arrays + hb_arrays
 
 
 def halo_volume(plan: HaloPlan, feat_dim: int, dtype_bytes: int = 4) -> dict:
@@ -367,6 +387,30 @@ def halo_sharded_mean_aggregate(
         e_src, e_slot, e_mask = e_src[0], e_slot[0], e_mask[0]
         s_idx, s_mask = s_idx[0], s_mask[0]
 
+        local_out = lf = lb = hf = hb = None
+        if csr_statics is not None:
+            # 0. scatter-free LOCAL kernel FIRST: the local blocking
+            # depends only on this shard's own [S, F] block, so the
+            # latency-hiding scheduler can run it while the collective is
+            # in flight (the round-3 concat formulation ran one kernel
+            # over concat(local, halo) that could not start until the last
+            # exchange round landed). f32 aggregation (kernel exactness).
+            from mpgnn_tpu.ops.pallas_csr import (
+                CsrBlocking,
+                csr_mean_aggregate,
+            )
+
+            s_rows, h_tot, bm_l, bm_h, et = csr_statics
+            (lfg, lfl, lfw, lftb, lbg, lbl, lbw, lbtb,
+             hfg, hfl, hfw, hftb, hbg, hbl, hbw, hbtb) = [
+                a[0] for a in csr_leaves
+            ]
+            lf = CsrBlocking(lfg, lfl, lfw, lftb, s_rows, bm_l, et)
+            lb = CsrBlocking(lbg, lbl, lbw, lbtb, s_rows, bm_l, et)
+            hf = CsrBlocking(hfg, hfl, hfw, hftb, s_rows, bm_h, et)
+            hb = CsrBlocking(hbg, hbl, hbw, hbtb, h_tot, bm_h, et)
+            local_out = csr_mean_aggregate(x_l.astype(jnp.float32), lf, lb)
+
         # 1. build + exchange halo buffers over ICI
         if plan.exchange == "ppermute":
             # P-1 ring rounds, each padded to its OWN max pair size; the
@@ -396,26 +440,20 @@ def halo_sharded_mean_aggregate(
             halo_flat = halo.reshape(-1, x_l.shape[1])
 
         if csr_statics is not None:
-            # 2'. scatter-free local path: one rectangular csr kernel over
-            # concat(local block, halo); mean weights (1/deg) are already
-            # folded into the blocking. f32 aggregation (kernel exactness),
-            # cast back to the compute dtype.
-            from mpgnn_tpu.ops.pallas_csr import (
-                CsrBlocking,
-                csr_mean_aggregate,
-            )
+            # 2'. halo-contribution kernel over the exchanged buffer; mean
+            # weights (1/TOTAL-deg) are folded into both blockings, so the
+            # two partial kernels add to the full mean. Only THIS kernel
+            # waits on the collective — the local kernel above depends
+            # solely on x_l and overlaps the exchange.
+            from mpgnn_tpu.ops.pallas_csr import csr_mean_aggregate
 
-            s_rows, h_tot, bm, et = csr_statics
-            fg, fl, fw, ftb, bg, bl, bw, btb = [a[0] for a in csr_leaves]
-            fwd = CsrBlocking(fg, fl, fw, ftb, s_rows, bm, et)
-            bwd = CsrBlocking(bg, bl, bw, btb, s_rows + h_tot, bm, et)
-            pad_h = h_tot - halo_flat.shape[0]
+            pad_h = hb.num_rows - halo_flat.shape[0]
             if pad_h > 0:     # zero-edge degenerate meshes pad to h_tot
                 halo_flat = jnp.pad(halo_flat, ((0, pad_h), (0, 0)))
-            x_cat = jnp.concatenate(
-                [x_l, halo_flat.astype(x_l.dtype)], axis=0
-            ).astype(jnp.float32)
-            return csr_mean_aggregate(x_cat, fwd, bwd).astype(x_l.dtype)
+            halo_out = csr_mean_aggregate(
+                halo_flat.astype(jnp.float32), hf, hb
+            )
+            return (local_out + halo_out).astype(x_l.dtype)
 
         # 2. local partial first (scheduler can overlap it with the a2a);
         #    accumulate counts and sums in f32 regardless of compute dtype
