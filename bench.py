@@ -1,14 +1,19 @@
 """Benchmark harness — run on the real TPU by the driver.
 
-Measures the flagship hot loop (SURVEY §3.1 hot loop #1): full-graph
-MultiMetapathGNN training — per-relation mean aggregation + GEMMs + backward
-+ Adam — as one jitted lax.scan program, on a reference-scale synthetic
-graph (5,000 nodes, ~30k edges, 4 relations, like the shipped dataset).
+HEADLINE (``value``): full-graph MPGNN training throughput at the
+north-star scale — 200k nodes / 10M edges / hidden 64 under
+backend='auto' (the Pallas sorted-CSR path) — the flagship hot loop
+(SURVEY §3.1 hot loop #1: per-relation mean aggregation + GEMMs +
+backward + Adam as one jitted lax.scan program). ``vs_baseline`` = our
+edges/s over an equivalent torch-CPU training loop at the SAME workload
+(the reference runs torch-CPU; torch_geometric is unavailable here, so
+the baseline is an independent torch implementation of the same math:
+index_add scatter-mean + dense GEMMs).
 
-Baseline: an equivalent PyTorch-CPU training loop (the reference runs
-torch-CPU; torch_geometric is unavailable here, so the baseline is an
-independent torch implementation of the same math: index_add scatter-mean +
-dense GEMMs). ``vs_baseline`` = our edges/s divided by torch-CPU edges/s.
+Also emitted: the reference-scale toy number (5k nodes, like the shipped
+dataset) under ``toy_5k``; a 10M-edge aggregation roofline block; and a
+step-level utilization decomposition (gather / csr kernel / GEMMs+head)
+against the measured same-shape XLA gather rate and the HBM byte floor.
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -144,12 +149,15 @@ def bench_jax(graph, labels):
     return best[0]
 
 
-def bench_torch(graph, labels):
+def bench_torch(graph, labels, metapath=None, epochs=None, hidden=None):
     """Equivalent torch-CPU training step (independent implementation of the
     same conv math the reference's PyG stack executes)."""
     import torch
     import torch.nn.functional as F
 
+    metapath = metapath if metapath is not None else METAPATH
+    epochs = epochs if epochs is not None else EPOCHS_TORCH
+    HID = hidden if hidden is not None else HIDDEN
     torch.manual_seed(0)
     N, feat = graph.num_nodes, graph.feat_dim
     x = torch.from_numpy(graph.x)
@@ -160,7 +168,7 @@ def bench_torch(graph, labels):
     train_y = torch.from_numpy(split.train_y)
 
     hops = []
-    for r in METAPATH:
+    for r in metapath:
         s, d = graph.rel_edges(r)
         hops.append((torch.from_numpy(s.astype(np.int64)),
                      torch.from_numpy(d.astype(np.int64))))
@@ -183,11 +191,11 @@ def bench_torch(graph, labels):
         def __init__(self):
             super().__init__()
             self.convs = torch.nn.ModuleList(
-                [Conv(feat, HIDDEN)]
-                + [Conv(HIDDEN, HIDDEN) for _ in METAPATH[1:]]
+                [Conv(feat, HID)]
+                + [Conv(HID, HID) for _ in metapath[1:]]
             )
-            self.fc1 = torch.nn.Linear(HIDDEN, HIDDEN)
-            self.fc2 = torch.nn.Linear(HIDDEN, 2)
+            self.fc1 = torch.nn.Linear(HID, HID)
+            self.fc2 = torch.nn.Linear(HID, 2)
             self.drop = torch.nn.Dropout(0.6)
 
         def forward(self, x):
@@ -206,15 +214,15 @@ def bench_torch(graph, labels):
         loss.backward()
         opt.step()
     t0 = time.time()
-    for _ in range(EPOCHS_TORCH):
+    for _ in range(epochs):
         opt.zero_grad()
         loss = F.nll_loss(model(x)[train_idx], train_y)
         loss.backward()
         opt.step()
     dt = time.time() - t0
-    edges_per_epoch = sum(int(graph.rel_counts[r]) for r in METAPATH)
-    eps = EPOCHS_TORCH * edges_per_epoch / dt
-    log(f"torch-cpu: {EPOCHS_TORCH} epochs in {dt:.2f}s -> {eps/1e6:.3f}M edges/s")
+    edges_per_epoch = sum(int(graph.rel_counts[r]) for r in metapath)
+    eps = epochs * edges_per_epoch / dt
+    log(f"torch-cpu: {epochs} epochs in {dt:.2f}s -> {eps/1e6:.3f}M edges/s")
     return eps
 
 
@@ -223,6 +231,149 @@ HBM_PEAK_GBS = {
     "TPU v4": 1228.0, "TPU v5 lite": 819.0, "TPU v5": 2765.0,
     "TPU v5p": 2765.0, "TPU v6 lite": 1640.0, "TPU v6e": 1640.0,
 }
+
+
+def _timed_scan(step, init, iters=10):
+    """Median-free min-of-2 timing of ``iters`` dependent steps inside ONE
+    jitted scan (tunnel-safe: per-dispatch latency is ~ms and
+    block_until_ready does not block on this image — a scalar readback
+    does; methodology of benchmarks/bench_gather_roofline.py)."""
+    import jax
+
+    @jax.jit
+    def run(c):
+        def body(c, _):
+            return step(c), 0
+
+        c, _ = jax.lax.scan(body, c, None, length=iters)
+        return jax.tree_util.tree_map(lambda a: a.ravel()[0], c)
+
+    _ = jax.tree_util.tree_map(float, run(init))
+    t0 = time.perf_counter()
+    _ = jax.tree_util.tree_map(float, run(init))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_step_utilization(graph, metapath, hidden, epoch_ms):
+    """Whole-train-step utilization (VERDICT r3 item 6): decompose the
+    north-star csr training epoch into phases and give 'fast' an honest
+    denominator — the aggregation gather against the MEASURED same-shape
+    XLA random-gather rate (not the theoretical HBM peak), and the whole
+    epoch against its HBM byte floor.
+
+    Phases (each timed as dependent steps in one jitted scan):
+      agg_fwd     csr_mean_aggregate forward (gather + Pallas one-hot MXU)
+      agg_bwd     the VJP kernel on the destination-sorted blocking
+      gather_fwd  the XLA row gather alone (the kernel's known wall)
+      gather_ref  a random gather of the same index count / row width —
+                  the measured roofline this chip gives the primitive today
+      gemm_head   the epoch minus aggregation: conv GEMMs + fc head + nll
+                  backward + Adam (aggregations replaced by constants)
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mpgnn_tpu.ops.pallas_csr import (
+        _gather_cols,
+        _gather_weighted,
+        csr_mean_aggregate,
+    )
+
+    dev = jax.devices()[0]
+    peak = next(
+        (v for k, v in HBM_PEAK_GBS.items() if k in str(dev.device_kind)),
+        819.0,
+    )
+    N, H = graph.num_nodes, hidden
+    rel = int(metapath[-1])  # the in-scan hop (hop 0 is cached outside)
+    fwd, bwd = graph._dense_cache[("csr", rel)]
+    rng = np.random.default_rng(0)
+    h0 = jnp.asarray(rng.standard_normal((N, H)).astype(np.float32))
+
+    def dep(x, out):
+        return x + jnp.sum(out, axis=0)[None, :] * 1e-30
+
+    out = {}
+    t_fwd = _timed_scan(lambda h: dep(h, csr_mean_aggregate(h, fwd, bwd)), h0)
+    t_bwd = _timed_scan(lambda h: dep(h, csr_mean_aggregate(h, bwd, fwd)), h0)
+    t_gat = _timed_scan(
+        lambda h: dep(h, _gather_weighted(fwd, h)[:, :H]), h0
+    )
+    ep_f = int(fwd.weight.shape[0])
+    ep_b = int(bwd.weight.shape[0])
+    # same-count random gather at the same (padded) row width: the rate
+    # XLA gives the primitive on this chip today — the honest roofline
+    fp = _gather_cols(H, jnp.float32)
+    xp = jnp.asarray(rng.standard_normal((N, fp)).astype(np.float32))
+    ridx = jnp.asarray(rng.integers(0, N, size=ep_f + 1).astype(np.int32))
+    t_ref = _timed_scan(lambda x: dep(x, x[ridx][:ep_f]), xp)
+
+    # gemm+head: the epoch with the hop aggregations as CONSTANTS — conv
+    # GEMMs, fc head, nll, full backward, Adam (what remains of the step)
+    F = graph.feat_dim
+    agg0 = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
+    aggc = jnp.asarray(rng.standard_normal((N, H)).astype(np.float32))
+    n_train = max(1, N // 10)
+    tr_i = jnp.arange(n_train)
+    tr_y = jnp.asarray(rng.integers(0, 2, n_train))
+    pw = {
+        "w1": jnp.asarray(rng.standard_normal((F, H)).astype(np.float32)),
+        "r1": jnp.asarray(rng.standard_normal((F, H)).astype(np.float32)),
+        "w2": jnp.asarray(rng.standard_normal((H, H)).astype(np.float32)),
+        "r2": jnp.asarray(rng.standard_normal((H, H)).astype(np.float32)),
+        "f1": jnp.asarray(rng.standard_normal((H, H)).astype(np.float32)),
+        "f2": jnp.asarray(rng.standard_normal((H, 2)).astype(np.float32)),
+    }
+    tx = optax.adamw(0.01, weight_decay=5e-4)
+    st0 = tx.init(pw)
+
+    def loss_fn(p):
+        h = jax.nn.relu(agg0 @ p["w1"] + agg0 @ p["r1"])
+        h = jax.nn.relu(aggc @ p["w2"] + h @ p["r2"])
+        h = jax.nn.relu(h @ p["f1"])
+        logp = jax.nn.log_softmax(h @ p["f2"], axis=1)[tr_i]
+        return -jnp.mean(jnp.take_along_axis(logp, tr_y[:, None], 1))
+
+    def gemm_step(carry):
+        p, st = carry
+        _, g = jax.value_and_grad(loss_fn)(p)
+        upd, st = tx.update(g, st, p)
+        return (optax.apply_updates(p, upd), st)
+
+    t_gemm = _timed_scan(gemm_step, (pw, st0))
+
+    sum_ms = (t_fwd + t_bwd + t_gemm) * 1e3
+    # whole-epoch HBM byte floor: both aggregation gathers stream their
+    # 256B-padded rows once, the two [N, H] aggregation outputs are
+    # written, and the conv/head GEMM chain reads+writes ~8 [N, H]-sized
+    # activations/grads across forward+backward
+    floor = (ep_f + ep_b) * fp * 4 + 2 * N * H * 4 + 8 * N * H * 4
+    gbs = floor / (epoch_ms / 1e3) / 1e9
+    out = {
+        "whole_epoch_ms": round(epoch_ms, 2),
+        "agg_fwd_ms": round(t_fwd * 1e3, 2),
+        "agg_bwd_ms": round(t_bwd * 1e3, 2),
+        "gather_fwd_ms": round(t_gat * 1e3, 2),
+        "gather_ref_same_shape_ms": round(t_ref * 1e3, 2),
+        "gemm_head_ms": round(t_gemm * 1e3, 2),
+        "sum_phases_ms": round(sum_ms, 2),
+        "unattributed_ms": round(epoch_ms - sum_ms, 2),
+        "gather_mrows_s": round(ep_f / t_gat / 1e6, 1),
+        "gather_ref_mrows_s": round(ep_f / t_ref / 1e6, 1),
+        "gather_pct_of_measured_roofline": round(100 * t_ref / t_gat, 1),
+        "epoch_floor_bytes": floor,
+        "epoch_gbs_floor": round(gbs, 1),
+        "pct_hbm_peak": round(100 * gbs / peak, 1),
+    }
+    log(f"[step-util] epoch {epoch_ms:.1f} ms = agg_fwd {t_fwd*1e3:.1f} + "
+        f"agg_bwd {t_bwd*1e3:.1f} + gemm/head {t_gemm*1e3:.1f} "
+        f"(+{out['unattributed_ms']:.1f} unattributed); gather "
+        f"{out['gather_mrows_s']}M rows/s = "
+        f"{out['gather_pct_of_measured_roofline']}% of same-shape XLA "
+        f"gather; whole step {gbs:.1f} GB/s floor "
+        f"({out['pct_hbm_peak']}% of {peak:.0f} GB/s)")
+    return out
 
 
 def bench_agg_roofline(n=500_000, e=10_000_000, f=16, iters=20):
@@ -394,6 +545,27 @@ def bench_train_at_scale(n=200_000, avg_deg=50, epochs=100, hidden=HIDDEN):
         out[backend] = {"edges_per_s": round(eps, 1), "wall_s": round(wall, 2)}
         log(f"[train-at-scale/{backend}] {epochs} epochs in {wall:.2f}s -> "
             f"{eps/1e6:.1f}M edges/s")
+        if backend == auto == "csr":
+            # step-level utilization against honest denominators
+            # (VERDICT r3 item 6)
+            try:
+                out["step_utilization"] = bench_step_utilization(
+                    graph, metapath, hidden, wall / epochs * 1e3
+                )
+            except Exception as exc:
+                log(f"[step-util] failed: {exc!r}")
+                out["step_utilization"] = {"error": repr(exc)}
+    # torch-CPU at the SAME scale: the honest vs_baseline for the headline
+    # (the reference's own stack at the north-star workload)
+    try:
+        t0 = time.time()
+        eps_t = bench_torch(graph, labels, metapath,
+                            epochs=2, hidden=hidden)
+        out["torch_cpu_edges_per_s"] = round(eps_t, 1)
+        log(f"[train-at-scale/torch-cpu] measured in {time.time()-t0:.1f}s")
+    except Exception as exc:
+        log(f"[train-at-scale/torch-cpu] failed: {exc!r}")
+        out["torch_cpu_edges_per_s"] = None
     return out
 
 
@@ -415,18 +587,35 @@ def main():
     except Exception as exc:  # additive, never fatal
         log(f"[train-at-scale] failed: {exc!r}")
         scale = {"error": repr(exc)}
-    print(
-        json.dumps(
-            {
-                "metric": "mpgnn_train_edges_per_s",
-                "value": round(eps_jax, 1),
-                "unit": "edges/s",
-                "vs_baseline": round(eps_jax / eps_torch, 2),
-                "agg_roofline_10m_edges": agg,
-                "train_at_scale_10m_edges": scale,
-            }
-        )
-    )
+
+    # HEADLINE = the north-star-scale training number (N=200k / E=10M /
+    # hidden=64 under backend='auto'), not the 5k-node toy — the toy's
+    # dense backend cannot even run at the scale the framework targets
+    # (VERDICT r3 item 6). vs_baseline = torch-CPU at the SAME workload.
+    auto_key = scale.get("auto_resolves_to")
+    ns = scale.get(auto_key, {}) if auto_key else {}
+    value = ns.get("edges_per_s")
+    eps_torch_scale = scale.get("torch_cpu_edges_per_s")
+    payload = {
+        "metric": "mpgnn_train_at_scale_edges_per_s",
+        "value": value,
+        "unit": "edges/s",
+        "vs_baseline": (
+            round(value / eps_torch_scale, 2)
+            if value and eps_torch_scale else None
+        ),
+        "toy_5k": {
+            "edges_per_s": round(eps_jax, 1),
+            "vs_torch_cpu": round(eps_jax / eps_torch, 2),
+        },
+        "agg_roofline_10m_edges": agg,
+        "train_at_scale_10m_edges": scale,
+    }
+    if value is None:  # at-scale section failed: fall back to the toy
+        payload["metric"] = "mpgnn_train_edges_per_s"
+        payload["value"] = round(eps_jax, 1)
+        payload["vs_baseline"] = round(eps_jax / eps_torch, 2)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1062,11 +1062,12 @@ def _evaluate_candidates_csr(
                 else:
                     carry = progs[b][1](*bargs)
                 e0 += b
-                # sync per block: bounds outstanding device work to one
-                # dispatch and makes the progress line truthful
-                jax.block_until_ready(
-                    jax.tree_util.tree_leaves(carry)[0]
-                )
+                # sync per block via a SCALAR READBACK: bounds outstanding
+                # device work to one dispatch and makes the progress line
+                # truthful (block_until_ready does not block on this
+                # image's TPU tunnel — a host transfer does; same quirk
+                # benchmarks/bench_gather_roofline.py works around)
+                float(jax.tree_util.tree_leaves(carry)[0].ravel()[0])
                 if len(blocks) > 1:
                     blog.info(
                         "    csr eval epochs %d/%d (block %d/%d, %.1fs)",

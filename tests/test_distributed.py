@@ -282,6 +282,7 @@ def test_locality_reorder_preserves_training():
     assert after["useful_rows"] < before["useful_rows"]
 
 
+@pytest.mark.slow
 def test_halo_csr_local_matches_segment_local():
     """The scatter-free csr local aggregation (per-shard rectangular Pallas
     blockings over concat(local, halo)) computes the identical node-sharded
@@ -364,6 +365,7 @@ def _toy_hetero(seed=5, N=96, E=500, F=4, R=3, C=2):
     return g, split_nodes(labels)
 
 
+@pytest.mark.slow
 def test_node_sharded_train_step_matches_replicated():
     """The node-sharded step (REAL model: multi-metapath concat head) gives
     the same loss trajectory as the single-device mpgnn_forward trainer."""

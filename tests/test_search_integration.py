@@ -68,6 +68,7 @@ def test_search_recovers_length3_planted_metapath():
     assert res.val_f1_by_path[str(planted)] >= 0.9
 
 
+@pytest.mark.slow
 def test_frontier_checkpoint_resume(tmp_path):
     """An interrupted search resumes from the saved frontier without
     re-running earlier hops."""
@@ -99,6 +100,7 @@ def test_frontier_checkpoint_resume(tmp_path):
     assert res2.discovered == res1.discovered
 
 
+@pytest.mark.slow
 def test_search_deterministic_given_seed():
     g = generate_synthetic_graph(500, 4, "red-red-blue", seed=9)
     graph = HeteroGraph(

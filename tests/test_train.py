@@ -49,6 +49,7 @@ def test_train_wrong_metapath_lower_f1(planted):
     assert res_right.val_f1 > res_wrong.val_f1
 
 
+@pytest.mark.slow
 def test_batched_eval_matches_serial(planted):
     from mpgnn_tpu.train.batch_eval import evaluate_candidates
 
@@ -285,6 +286,7 @@ def test_evaluate_candidates_csr_compile_only(planted):
     assert set(res) == {str(p) for p in paths}
 
 
+@pytest.mark.slow
 def test_batched_eval_hbm_chunking_matches_unchunked(planted, monkeypatch):
     """Forcing the free-HBM candidate cap below the group size must produce
     identical per-candidate results: chunks are pure batch splits (padded to

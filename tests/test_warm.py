@@ -97,6 +97,7 @@ def test_aot_key_covers_split_shapes_and_classes(planted):
     assert k0 != k2
 
 
+@pytest.mark.slow
 def test_warmed_search_matches_unwarmed(planted):
     from mpgnn_tpu.search import find_metapaths
 
