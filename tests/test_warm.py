@@ -119,3 +119,36 @@ def test_warmed_search_matches_unwarmed(planted):
     assert res_warm.metapaths == res_plain.metapaths
     assert res_warm.discovered == res_plain.discovered
     assert res_warm.val_f1_by_path == res_plain.val_f1_by_path
+
+
+def test_claim_aot_keys_single_owner_on_overlap():
+    """Per-key compile ownership (round-4 advisor fix): when two warm
+    tasks' key sets overlap, only the task that actually registered a
+    key's event owns it — the other must see 'another task's in-progress
+    compile' and skip, instead of both passing the self-skip guard and
+    launching duplicate 20-577s remote compiles. __exit__ restores the
+    previous binding (nest-safe)."""
+    from mpgnn_tpu.train import batch_eval as be
+
+    k_shared, k_a, k_b = ("t4", "shared"), ("t4", "a"), ("t4", "b")
+    for k in (k_shared, k_a, k_b):
+        be._aot_inflight.pop(k, None)
+        be._aot_owner.pop(k, None)
+    try:
+        tok1, ev1 = be.claim_aot_keys([k_shared, k_a])
+        tok2, ev2 = be.claim_aot_keys([k_shared, k_b])
+        assert len(ev1) == 2 and len(ev2) == 1  # task 2 owns only k_b
+
+        with be._owned_aot_keys(tok1):
+            assert be._owns_aot_key(k_shared) and be._owns_aot_key(k_a)
+            assert not be._owns_aot_key(k_b)
+            with be._owned_aot_keys(tok2):      # nesting
+                assert be._owns_aot_key(k_b)
+                assert not be._owns_aot_key(k_shared)
+            # previous binding restored, not clobbered to empty
+            assert be._owns_aot_key(k_shared)
+        assert not be._owns_aot_key(k_shared)   # outside any binding
+    finally:
+        for k in (k_shared, k_a, k_b):
+            be._aot_inflight.pop(k, None)
+            be._aot_owner.pop(k, None)
