@@ -376,8 +376,11 @@ def halo_sharded_mean_aggregate(
 
     ``csr_statics``/``csr_arrays`` (from ``build_halo_csr_operands``)
     replace the local XLA segment sums with per-shard Pallas sorted-CSR
-    kernels over concat(local block, halo) — the scatter-free local path
-    for north-star scale."""
+    kernels — the scatter-free local path for north-star scale — SPLIT
+    into a local-block kernel issued before the exchange (no dependence
+    on any collective output; overlappable) and a halo-contribution
+    kernel over the exchanged buffer (1/total-degree weights in both, so
+    the partial sums add to the exact mean)."""
     shard_map = jax.shard_map
     P_n = plan.num_shards
 
