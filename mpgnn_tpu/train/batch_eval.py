@@ -45,10 +45,13 @@ def _e_pad(graph: HeteroGraph, paths: Sequence[Sequence[int]], pad: int = 128) -
 # Max C × E_pad × H entries of ONE vmapped segment-eval program: the
 # XLA:TPU worker crashed ("kernel fault", process restart) executing the
 # batched scatter at C=4 × e_pad=263552 × H=64 ≈ 67M entries (round-3 KG
-# final eval) — the same cliff family search.scoring._SEG_SWEEP_RN_CAP
-# guards for the scorer sweeps (op-mix dependent, so a separate constant).
-# 16M keeps a 4x margin under the observed crash; shipped-scale groups
-# (1-10M entries) sit below it untouched.
+# final eval) and again at C=1 × e_pad=524416 × H=64 ≈ 33.6M (round-4
+# 237-relation KG len-1 group) — the same cliff family
+# search.scoring._SEG_SWEEP_RN_CAP guards for the scorer sweeps (op-mix
+# dependent, so a separate constant). 16M keeps a 2.1x margin under the
+# lowest observed crash; shipped-scale groups (1-10M entries) sit below
+# it untouched. Groups over the cap route to csr EVEN AT C=1
+# (resolve_eval_backend) — chunking the candidate axis cannot help there.
 _EVAL_VMAP_ENTRY_CAP = 16_000_000
 
 
@@ -190,15 +193,22 @@ def resolve_eval_backend(backend, cfg, graph, paths) -> str:
     # (tests) governs training and eval routing consistently
     if max_e >= _loops.CSR_EDGE_CUTOVER:
         return "csr"
-    # even below the per-relation cutover, a wide-e_pad multi-candidate
-    # group can only run the vmapped segment batch near-serialized (the
-    # worker-crash entry cliff, _EVAL_VMAP_ENTRY_CAP caps its chunks at
-    # 1-2 candidates) — the scatter-free csr path is both safe and faster
-    # there (BASELINE.md round 3: 2.8x per unit of work at KG scale)
+    # even below the per-relation cutover, a wide-e_pad group must stay
+    # off the vmapped segment batch (the worker-crash entry cliff):
     h = cfg.hidden_dim if cfg else 64
-    if len(paths) > 2 and max_e > 0:
+    if max_e > 0:
         e_pad = _e_pad(graph, paths)
-        if 4 * e_pad * h > _EVAL_VMAP_ENTRY_CAP:
+        # a SINGLE candidate's vmapped scatter kernel-faults the worker
+        # past the cliff — candidate chunking cannot help at C=1
+        # (observed: C=1 × e_pad=524416 × H=64 ≈ 33.6M entries, round-4
+        # 237-relation KG; C=4 × 263552 × 64 ≈ 67M, round 3) — the
+        # scatter-free csr path is the only safe route there
+        if e_pad * h > _EVAL_VMAP_ENTRY_CAP:
+            return "csr"
+        # multi-candidate groups near the cap run near-serialized anyway
+        # (chunks of 1-2 candidates); csr is both safe and 2.8x faster
+        # per unit of work at that scale (BASELINE.md round 3)
+        if len(paths) > 2 and 4 * e_pad * h > _EVAL_VMAP_ENTRY_CAP:
             return "csr"
     return "segment"
 

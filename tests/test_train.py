@@ -396,8 +396,17 @@ def test_resolve_eval_backend_entry_cliff(planted):
         batch_eval._EVAL_VMAP_ENTRY_CAP = 1
         assert batch_eval.resolve_eval_backend(
             "auto", cfg, graph, paths) == "csr"
+        # a SINGLETON group past the cliff must route to csr too: the
+        # worker kernel-faulted at C=1 × e_pad=524416 × H=64 on the
+        # 237-relation KG (round 4) — candidate chunking cannot help at
+        # C=1, only the scatter-free path can
+        assert batch_eval.resolve_eval_backend(
+            "auto", cfg, graph, [[1]]) == "csr"
     finally:
         batch_eval._EVAL_VMAP_ENTRY_CAP = orig
+    # back at shipped scale the singleton stays segment
+    assert batch_eval.resolve_eval_backend(
+        "auto", cfg, graph, [[1]]) == "segment"
 
 
 def test_segment_chunks_share_one_shape(planted):
