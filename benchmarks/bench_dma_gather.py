@@ -180,6 +180,33 @@ def main():
     out["dma_run1_vs_xla"] = round(
         out["dma_run1"]["mrows_s"] / out["xla_gather"]["mrows_s"], 2
     )
+
+    # run-length structure of a REAL csr blocking's gather columns: how
+    # often do contiguous runs (the multi-row-descriptor opportunity)
+    # actually occur? The blocking sorts columns within each row block,
+    # so runs = consecutive column values differing by exactly 1.
+    from mpgnn_tpu.ops.pallas_csr import build_csr_blocking
+
+    e_real = 10_000_000
+    src = np.sort(rng.integers(0, n, size=e_real))
+    dst = rng.integers(0, n, size=e_real)
+    fwd, _ = build_csr_blocking(src, dst, n)
+    gidx = np.asarray(fwd.gidx[:-1])
+    w = np.asarray(fwd.weight)
+    real = gidx[w > 0]                       # drop pad slots
+    brk = np.nonzero(np.diff(real) != 1)[0]
+    run_lens = np.diff(np.concatenate([[-1], brk, [len(real) - 1]]))
+    out["real_blocking_runs"] = {
+        "edges": int(len(real)),
+        "mean_run_len": round(float(run_lens.mean()), 3),
+        "pct_rows_in_runs_ge4": round(
+            100 * float(run_lens[run_lens >= 4].sum()) / len(real), 2
+        ),
+    }
+    print(f"  real blocking (E=10M uniform): mean run "
+          f"{out['real_blocking_runs']['mean_run_len']}, "
+          f"{out['real_blocking_runs']['pct_rows_in_runs_ge4']}% of rows "
+          f"in runs >=4", file=sys.stderr, flush=True)
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "DMA_GATHER.json"), "w") as fh:
