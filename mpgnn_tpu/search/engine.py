@@ -135,13 +135,18 @@ def find_metapaths(
                 len(resume["final_paths"]),
             )
 
+    eval_partial: Dict[str, float] = (
+        dict(resume.get("eval_partial", {})) if resume else {}
+    )
+
     def save_frontier(hop, current, final_paths):
         if not frontier_checkpoint:
             return
         tmp = frontier_checkpoint + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(
-                {"hop": hop, "current": current, "final_paths": final_paths},
+                {"hop": hop, "current": current, "final_paths": final_paths,
+                 "eval_partial": eval_partial},
                 f,
             )
         import os
@@ -337,6 +342,22 @@ def find_metapaths(
     # candidate axis) — the TPU replacement for the reference's final MPI
     # fan-out (main.py:1444-1459).
     t0 = time.time()
+    # the TPU tunnel worker can die unpredictably mid-eval (round 4); with
+    # a frontier checkpoint, every completed eval CHUNK is persisted and a
+    # re-run (fresh process) resumes after the last completed chunk —
+    # chunk layout and PRNG positions derive from the full candidate list,
+    # so resumed == uninterrupted bit-for-bit
+    final_hop = cfg.max_extension_hops
+    if eval_partial:
+        log.info(
+            "final eval resuming: %d/%d candidate results already "
+            "checkpointed", len(eval_partial), len(final_paths),
+        )
+
+    def eval_sink(chunk_results):
+        eval_partial.update(chunk_results)
+        save_frontier(final_hop, current, final_paths)
+
     if batched_eval:
         from mpgnn_tpu.train.batch_eval import evaluate_candidates
 
@@ -347,18 +368,25 @@ def find_metapaths(
         val_by_path = evaluate_candidates(
             graph, final_paths, split, num_classes, cfg.mpgnn,
             seed=seed, x_override=x,
+            existing=eval_partial or None,
+            sink=eval_sink if frontier_checkpoint else None,
         )
         for path_s, f1 in val_by_path.items():
             log.info("eval %s: val F1 %.4f", path_s, f1)
     else:
         val_by_path = {}
         for path in final_paths:
+            if str(path) in eval_partial:
+                val_by_path[str(path)] = eval_partial[str(path)]
+                continue
             res = train_mpgnn(
                 graph, [path], split, num_classes, cfg.mpgnn,
                 seed=seed, x_override=x,
             )
             val_by_path[str(path)] = res.val_f1
             log.info("eval %s: val F1 %.4f", path, res.val_f1)
+            if frontier_checkpoint:
+                eval_sink({str(path): res.val_f1})
     log.info(
         "final eval of %d candidates: %.1fs", len(final_paths), time.time() - t0
     )

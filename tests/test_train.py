@@ -379,6 +379,43 @@ def test_batched_eval_csr_compile_only_epoch_blocks(planted, monkeypatch):
     assert set(res) == {str(p) for p in paths}
 
 
+def test_batched_eval_chunk_resume_matches_uninterrupted(planted, monkeypatch):
+    """Crash-resume (round 4): sink delivers per-chunk results; a re-call
+    passing those as ``existing`` skips covered chunks and reproduces the
+    uninterrupted results bit-for-bit (chunk layout + PRNG positions come
+    from the full candidate list, not the remaining one)."""
+    from mpgnn_tpu.train import batch_eval
+    from mpgnn_tpu.train.batch_eval import evaluate_candidates
+
+    graph, g = planted
+    split = split_nodes(g["labels"])
+    cfg = MPGNNConfig(epochs=30, hidden_dim=8)
+    paths = [[1, 0], [0, 1], [2, 3], [3, 2], [1, 2]]
+    for backend, capname in (("segment", "_segment_chunk_cap"),
+                             ("csr", "_csr_chunk_cap")):
+        full = evaluate_candidates(graph, paths, split, 2, cfg, seed=6,
+                                   backend=backend)
+        monkeypatch.setattr(batch_eval, capname, lambda *a, **k: 2)
+        sunk = []
+        out1 = evaluate_candidates(graph, paths, split, 2, cfg, seed=6,
+                                   backend=backend, sink=sunk.append)
+        assert len(sunk) == 3, backend              # 3 chunks of <=2
+        for p in paths:
+            np.testing.assert_allclose(out1[str(p)], full[str(p)],
+                                       atol=1e-5, err_msg=backend)
+        # simulate a crash after the first chunk: only its results exist
+        partial = dict(sunk[0])
+        sunk2 = []
+        out2 = evaluate_candidates(graph, paths, split, 2, cfg, seed=6,
+                                   backend=backend, existing=partial,
+                                   sink=sunk2.append)
+        assert len(sunk2) == 2, backend             # first chunk skipped
+        for p in paths:
+            np.testing.assert_allclose(out2[str(p)], full[str(p)],
+                                       atol=1e-5, err_msg=backend)
+        monkeypatch.undo()
+
+
 def test_resolve_eval_backend_entry_cliff(planted):
     """'auto' routes a wide-e_pad multi-candidate group to csr even below
     the 1M-edges/relation cutover: the vmapped segment batch would run
