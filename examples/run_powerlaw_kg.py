@@ -13,6 +13,14 @@ the chunked sweeps were hardened for in round 3:
 Emits one JSON line: wall, per-phase timings, whether the planted path was
 recovered, and the final test macro-F1. Budgets default to the reference's
 (scorer 100/50-epoch, 1000-epoch final evals; main.py:755/890/1121).
+
+The TPU tunnel worker in this image dies unpredictably under sustained
+load (docs/DESIGN.md §5c); with ``--frontier`` every hop AND every
+completed final-eval chunk is checkpointed, so the production pattern is
+a retry loop — each attempt resumes where the last died, bit-for-bit:
+
+    for i in 1 2 3; do python examples/run_powerlaw_kg.py \
+        --folder data/powerlaw_kg --frontier /tmp/fr.pkl && break; done
 ``--bag_gap_inclusive`` defaults ON: the reference's strict-< bag cut
 (main.py:1424) blocks extension on many-relation vocabularies (BASELINE.md
 round-1 grid study).
