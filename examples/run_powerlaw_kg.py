@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--max_hops", type=int, default=None,
                     help="extension hops; default = planted length - 1")
     ap.add_argument("--no_warmer", action="store_true")
+    ap.add_argument("--backend", type=str, default="auto",
+                    help="MPGNN aggregation backend (default 'auto'; "
+                         "'csr' forces every final-eval group onto the "
+                         "epoch-blocked scatter-free path — the most "
+                         "tunnel-robust choice, docs/DESIGN.md §5c)")
     ap.add_argument("--max_extensions_per_state", type=int, default=None,
                     help="bounded-frontier beam width (None = reference "
                          "parity; the 237-relation KG's faithful cut keeps "
@@ -112,7 +117,7 @@ def main():
         # point of this stress runner; the 'segment' default would pin the
         # dominant phase to the entry-capped near-serial scatter batch
         mpgnn=MPGNNConfig(hidden_dim=args.hidden_dim, epochs=args.epochs,
-                          backend="auto"),
+                          backend=args.backend),
     )
     from mpgnn_tpu.utils.warm import get_warmer
 
