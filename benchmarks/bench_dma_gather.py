@@ -54,11 +54,18 @@ def _dma_gather_call(t: int, runs_per_tile: int, rows_per_run: int,
                      n: int, f: int):
     et = runs_per_tile * rows_per_run
 
-    def kernel(idx_ref, x_ref, o_ref, sem):
-        # idx_ref: [1, runs_per_tile] int32 in SMEM (this tile's run starts)
+    def kernel(idx_hbm, x_ref, o_ref, idx_s, sem, isem):
+        # fetch this tile's run starts HBM -> SMEM (scratch SMEM has no
+        # block-tiling constraint, unlike an SMEM-space BlockSpec input)
+        icp = pltpu.make_async_copy(
+            idx_hbm.at[pl.program_id(0)], idx_s, isem
+        )
+        icp.start()
+        icp.wait()
+
         def copy(r):
             return pltpu.make_async_copy(
-                x_ref.at[pl.ds(idx_ref[0, r], rows_per_run), :],
+                x_ref.at[pl.ds(idx_s[0, r], rows_per_run), :],
                 o_ref.at[pl.ds(r * rows_per_run, rows_per_run), :],
                 sem.at[r % SEM_SLOTS],
             )
@@ -88,13 +95,16 @@ def _dma_gather_call(t: int, runs_per_tile: int, rows_per_run: int,
         kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, runs_per_tile), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # [t, 1, R] run starts
             pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
         ],
         out_specs=pl.BlockSpec((et, f), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((t * et, f), jnp.float32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((SEM_SLOTS,))],
+        scratch_shapes=[
+            pltpu.SMEM((1, runs_per_tile), jnp.int32),
+            pltpu.SemaphoreType.DMA((SEM_SLOTS,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=jax.devices()[0].platform != "tpu",
     )
 
@@ -104,7 +114,7 @@ def dma_gather(x, run_starts_2d, rows_per_run):
     t, runs_per_tile = run_starts_2d.shape
     call = _dma_gather_call(t, runs_per_tile, rows_per_run,
                             x.shape[0], x.shape[1])
-    return call(run_starts_2d, x)
+    return call(run_starts_2d.reshape(t, 1, runs_per_tile), x)
 
 
 def timeit(fn, x):
@@ -129,7 +139,9 @@ def timeit(fn, x):
 
 def main():
     n = 500_000
-    f = 64                      # 256-byte rows, the roofline's fast width
+    f = 128                     # 512-byte rows (Mosaic memref slices must be
+                                # 128-lane aligned; the XLA roofline is the
+                                # same ~202 Mrows/s at 256 B and 512 B)
     total_rows = 2_097_152      # 2M rows gathered per invocation
     runs_per_tile = 256
     rng = np.random.default_rng(0)

@@ -29,10 +29,13 @@ the scatter entirely:
   zero (reference parity, mp_rgcn_layer.py:198).
 
 The remaining row gather ``x[gidx]`` stays in XLA (a VMEM dynamic-row
-gather is not lowerable by Mosaic; a DMA-per-row formulation is
-descriptor-bound). The backward pass is the same kernel on a
-destination-sorted blocking — a custom VJP with no scatter in either
-direction.
+gather is not lowerable by Mosaic; a DMA-per-row formulation was MEASURED
+descriptor-bound in round 4 — ~35 ns/descriptor, 28.7 vs XLA's 157.7
+Mrows/s at 512 B rows, and the ≥16-row contiguous runs that would make
+batched descriptors win have mean length 1.01 in real blockings;
+benchmarks/DMA_GATHER.json, docs/DESIGN.md). The backward pass is the
+same kernel on a destination-sorted blocking — a custom VJP with no
+scatter in either direction.
 """
 
 from __future__ import annotations
