@@ -67,6 +67,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(fixes the reference's strict-< cut that blocks "
                         "extension when one relation clearly wins; "
                         "18/18 vs 6/18 planted-path recovery, BASELINE.md)")
+    p.add_argument("--frontier", type=str, default=None,
+                   help="frontier-checkpoint path PREFIX: each class's "
+                        "search saves its frontier (hops + completed "
+                        "final-eval chunks) to <prefix>.class<i>.pkl and "
+                        "resumes mid-search after a crash — finer-grained "
+                        "than --pickle_filename's per-class results")
     p.add_argument("--max_extensions_per_state", type=int, default=None,
                    help="bounded-frontier beam: keep at most this many "
                         "lowest-loss gap-cut survivors per state (default "
@@ -198,6 +204,10 @@ def main(argv=None):
                 x_features=x,
                 seed=args.seed,
                 warmer=warmer,
+                frontier_checkpoint=(
+                    f"{args.frontier}.class{list_index}.pkl"
+                    if args.frontier else None
+                ),
             )
         results[list_index] = res
         if ckpt:
