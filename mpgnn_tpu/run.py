@@ -21,6 +21,43 @@ import time
 import numpy as np
 
 
+def _supervise(args, argv) -> int:
+    """Run the search in a child process, restarting on failure.
+
+    A dead TPU runtime poisons the parent's JAX client state, so retry
+    NEEDS a process boundary. Checkpoint flags (--frontier,
+    --pickle_filename) make each restart resume, not recompute."""
+    import subprocess
+
+    base = list(sys.argv[1:] if argv is None else argv)
+    # strip --retries so the child runs the search directly
+    child_args = []
+    skip = False
+    for a in base:
+        if skip:
+            skip = False
+            continue
+        if a == "--retries":
+            skip = True
+            continue
+        if a.startswith("--retries="):
+            continue
+        child_args.append(a)
+    cmd = [sys.executable, "-m", "mpgnn_tpu.run"] + child_args
+    for attempt in range(1, args.retries + 2):
+        rc = subprocess.call(cmd)
+        if rc == 0:
+            return 0
+        print(
+            f"[supervisor] attempt {attempt} exited rc={rc}"
+            + ("; retrying (checkpoints resume the search)"
+               if attempt <= args.retries else "; giving up"),
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(10)
+    return rc
+
+
 def build_argparser() -> argparse.ArgumentParser:
     # flag set mirrors main.py:1489-1506
     p = argparse.ArgumentParser(description="learning meta-paths (TPU-native)")
@@ -67,6 +104,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(fixes the reference's strict-< cut that blocks "
                         "extension when one relation clearly wins; "
                         "18/18 vs 6/18 planted-path recovery, BASELINE.md)")
+    p.add_argument("--retries", type=int, default=0,
+                   help="supervise the search in a subprocess and restart "
+                        "it up to this many times on failure (a crashed "
+                        "TPU runtime poisons the JAX client, so recovery "
+                        "needs a fresh process). Combine with --frontier "
+                        "and --pickle_filename: every retry resumes from "
+                        "the last completed hop / eval chunk / class — "
+                        "the production pattern for flaky accelerator "
+                        "runtimes (docs/DESIGN.md §'tunnel pathology')")
     p.add_argument("--frontier", type=str, default=None,
                    help="frontier-checkpoint path PREFIX: each class's "
                         "search saves its frontier (hops + completed "
@@ -97,6 +143,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.retries > 0:
+        return _supervise(args, argv)
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(message)s",

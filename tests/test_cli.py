@@ -133,3 +133,26 @@ def test_save_then_serve_roundtrip(dataset, tmp_path):
     preds = json.loads(r2.stdout.strip().splitlines()[-1])
     assert set(preds.keys()) == {"0", "1", "2", "3"}
     assert all(v in (0, 1) for v in preds.values())
+
+
+def test_run_cli_retries_supervisor(dataset, tmp_path):
+    """--retries runs the search in a supervised child process (a crashed
+    TPU runtime poisons the JAX client, so recovery needs a process
+    boundary); a healthy run completes on the first attempt with the same
+    JSON output."""
+    cmd = [
+        sys.executable, "-m", "mpgnn_tpu.run",
+        "--hidden_dim", "8", "--dataset", "synthetic",
+        "--folder", dataset, "--node_file", "node.dat",
+        "--link_file", "link.dat", "--label_file", "label.dat",
+        "--epochs", "20", "--max_hops", "1", "--retries", "2",
+        "--frontier", str(tmp_path / "fr"),
+    ]
+    r = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, env=_env(), timeout=420
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    last = r.stdout.strip().splitlines()[-1]
+    out = json.loads(last)
+    assert "classes" in out
+    assert os.path.exists(str(tmp_path / "fr") + ".class0.pkl")
