@@ -214,14 +214,17 @@ def find_metapaths(
         final_paths = resume["final_paths"]
         start_hop = resume["hop"]
         # groups finalized before the crash still need their final-eval
-        # programs: warm every already-final length (1 .. start_hop + 1)
+        # programs: warm every already-final length (1 .. start_hop + 1) —
+        # except lengths whose every candidate already has a checkpointed
+        # eval result (the resumed eval skips their chunks entirely, so
+        # warming would compile programs nobody runs)
         if warmer is not None and batched_eval:
             for length in range(1, start_hop + 2):
-                warmer.warm_eval(
-                    graph,
-                    [p for p in final_paths if len(p) == length],
-                    split, num_classes, cfg.mpgnn, seed, x,
-                )
+                group = [p for p in final_paths if len(p) == length]
+                if group and not all(str(p) in eval_partial for p in group):
+                    warmer.warm_eval(
+                        graph, group, split, num_classes, cfg.mpgnn, seed, x,
+                    )
 
     # ------------------------------------------------------- hops 1..max
     for k in range(start_hop, cfg.max_extension_hops):
