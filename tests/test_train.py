@@ -622,3 +622,20 @@ def test_auto_eval_mixed_backend_routing(planted, monkeypatch):
     )
     kinds = {k[0] == "csr" for k in keys}
     assert kinds == {True, False}
+
+
+def test_csr_epoch_blocks_partition():
+    """_csr_epoch_blocks covers epochs exactly: full blocks + remainder,
+    a single short block when epochs < block, [0] for epochs=0."""
+    from mpgnn_tpu.train import batch_eval
+
+    orig = batch_eval._CSR_EVAL_EPOCH_BLOCK
+    try:
+        batch_eval._CSR_EVAL_EPOCH_BLOCK = 100
+        assert batch_eval._csr_epoch_blocks(1000) == [100] * 10
+        assert batch_eval._csr_epoch_blocks(250) == [100, 100, 50]
+        assert batch_eval._csr_epoch_blocks(60) == [60]
+        assert batch_eval._csr_epoch_blocks(0) == [0]
+        assert sum(batch_eval._csr_epoch_blocks(1234)) == 1234
+    finally:
+        batch_eval._CSR_EVAL_EPOCH_BLOCK = orig
