@@ -295,4 +295,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    # propagate the supervisor's exit code: a --retries run that fails every
+    # attempt must exit non-zero so chained scripts/CI see the failure
+    _out = main()
+    sys.exit(_out if isinstance(_out, int) else 0)

@@ -222,8 +222,14 @@ def find_metapaths(
             for length in range(1, start_hop + 2):
                 group = [p for p in final_paths if len(p) == length]
                 if group and not all(str(p) in eval_partial for p in group):
+                    # thread the partial-results dict through: chunks fully
+                    # covered by checkpointed results are skipped by the
+                    # compile_only pass, mirroring the real resumed eval's
+                    # chunk skip (otherwise a resume AOT-compiles per-chunk
+                    # csr programs nobody will run — 20-577s remote each)
                     warmer.warm_eval(
                         graph, group, split, num_classes, cfg.mpgnn, seed, x,
+                        existing=eval_partial,
                     )
 
     # ------------------------------------------------------- hops 1..max

@@ -89,17 +89,26 @@ def _segment_chunk_cap(graph: HeteroGraph, group, cfg) -> int:
     h = cfg.hidden_dim
     cache = _graph_cache(graph)
     key = ("seg_cap", L, e_pad, h)
-    if key in cache:
-        return cache[key]
     per = 4 * h * (8 * graph.num_nodes + 3 * L * e_pad) + 9 * L * e_pad
     free = auto_dense_budget_bytes() / AUTO_DENSE_FREE_FRACTION
-    cap = max(1, int(free * 0.6 / max(per, 1)))
+    live = max(1, int(free * 0.6 / max(per, 1)))
     # ... and by the vmapped-scatter entry cliff (see _EVAL_VMAP_ENTRY_CAP)
-    cap = min(cap, max(1, _EVAL_VMAP_ENTRY_CAP // max(1, e_pad * h)))
-    cap = 1 << (cap.bit_length() - 1)
-    cap = max(cap, sweep_devices())
-    cache[key] = cap
-    return cap
+    live = min(live, max(1, _EVAL_VMAP_ENTRY_CAP // max(1, e_pad * h)))
+    live = 1 << (live.bit_length() - 1)
+    live = max(live, sweep_devices())
+    if key in cache:
+        # clamp the snapshot against the LIVE reading: if the first
+        # computation ran while HBM was unusually free (e.g. warm time,
+        # before large blockings went resident), reusing the oversized
+        # snapshot could OOM where a fresh computation would shrink. Only
+        # the shrinking direction re-keys the program (one extra compile,
+        # matching the old per-call-recompute degradation); growth keeps
+        # the snapshot so warm/real program shapes still agree.
+        if live < cache[key]:
+            cache[key] = live
+        return cache[key]
+    cache[key] = live
+    return live
 
 
 def _segment_chunks(graph: HeteroGraph, group, cfg):
@@ -145,14 +154,18 @@ def _csr_chunk_cap(graph: HeteroGraph, cfg) -> int:
 
     cache = _graph_cache(graph)
     key = ("csr_cap", cfg.hidden_dim)
-    if key in cache:
-        return cache[key]
     per = 6 * graph.num_nodes * cfg.hidden_dim * 4
     free = auto_dense_budget_bytes() / AUTO_DENSE_FREE_FRACTION
-    cap = max(1, int(free * 0.5 / max(per, 1)))
-    cap = 1 << (cap.bit_length() - 1)
-    cache[key] = cap
-    return cap
+    live = max(1, int(free * 0.5 / max(per, 1)))
+    live = 1 << (live.bit_length() - 1)
+    if key in cache:
+        # same live clamp as _segment_chunk_cap: shrink-only, so an
+        # oversized early snapshot cannot OOM a later real call
+        if live < cache[key]:
+            cache[key] = live
+        return cache[key]
+    cache[key] = live
+    return live
 
 
 def _aot_key(graph, group, split, num_classes, cfg, base_key_dtype: str,

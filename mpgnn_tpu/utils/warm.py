@@ -194,13 +194,19 @@ class ProgramWarmer:
         )
 
     def warm_eval(
-        self, graph, paths, split, num_classes, cfg, seed, x_override
+        self, graph, paths, split, num_classes, cfg, seed, x_override,
+        existing=None,
     ) -> None:
         """AOT-compile the batched final-eval program for one candidate-
         length group the moment its membership is final (its hop finished):
         ``evaluate_candidates(compile_only=True)`` lowers+compiles without
         touching the device, so the compile overlaps the remaining hops'
-        sweeps and the search's final eval is a cache hit."""
+        sweeps and the search's final eval is a cache hit.
+
+        ``existing`` is a crash-resume partial-results dict (path-str ->
+        loss): chunks it fully covers are skipped by the compile_only pass
+        exactly as the real resumed eval will skip them — without it a
+        resume would AOT-compile per-chunk csr programs nobody runs."""
         if not paths:
             return
         if cfg.backend == "dense":
@@ -240,6 +246,7 @@ class ProgramWarmer:
                     be.evaluate_candidates(
                         graph, paths, split, num_classes, cfg, seed=seed,
                         x_override=x_override, compile_only=True,
+                        existing=existing,
                     )
             finally:
                 # groups the compile never reached (early failure) must not

@@ -282,7 +282,6 @@ def test_locality_reorder_preserves_training():
     assert after["useful_rows"] < before["useful_rows"]
 
 
-@pytest.mark.slow
 def test_halo_csr_local_matches_segment_local():
     """The scatter-free csr local aggregation (per-shard rectangular Pallas
     blockings over concat(local, halo)) computes the identical node-sharded
