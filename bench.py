@@ -349,6 +349,187 @@ def bench_step_utilization(graph, metapath, hidden, epoch_ms):
     return out
 
 
+def bench_sweep_utilization(folder="data/powerlaw_kg", rounds=3):
+    """Bag-sweep utilization at KG scale (VERDICT r4 item 1): the hop-1 bag
+    sweep — the KG search's dominant compute phase (223.1s + 493.3s of the
+    237-relation search vs ~126s final eval) — gets the same treatment as
+    the training step: measure the real per-restart-round wall on the REAL
+    hop-1 workload (the 237-relation power-law KG, compact segment form),
+    then decompose one epoch into neighbor-table streaming, argmax/segment
+    reduction, backward, and optimizer via same-shape probe programs, with
+    the measured contiguous-stream rate of the same operand bytes as the
+    roofline denominator.
+
+    The workload is constructed exactly as the search engine does for the
+    hop-0 survivor state (engine.py hop loop; reference fan-out
+    main.py:853-917, 1400-1408): build_dictionaries + create_bags +
+    connected_relations on the planted path's first eval relation, then
+    ``score_bag_tasks`` with a bounded restart budget and the stats hook.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpgnn_tpu.config import ScorerConfig
+    from mpgnn_tpu.graph.io import load_fb15k237
+    from mpgnn_tpu.search import bags as bagmod
+    from mpgnn_tpu.search.scoring import _seg_first_max, score_bag_tasks
+
+    if not os.path.isdir(folder):
+        return {"error": f"{folder} not present"}
+    with open(os.path.join(folder, "metapath.dat")) as fh:
+        planted = [int(v) for v in fh.read().splitlines()[1].split()]
+    t0 = time.time()
+    graph, labels, _, label_nodes = load_fb15k237(
+        os.path.join(folder, "node.dat"),
+        os.path.join(folder, "link.dat"),
+        os.path.join(folder, "label.dat"),
+    )
+    N = graph.num_nodes
+    node_labels = np.zeros(N, dtype=np.float32)
+    node_labels[np.asarray(label_nodes)] = np.asarray(labels, np.float32)
+    # the hop-0 survivor state (planted path's first eval relation — the
+    # search's measured hop-0 survivor on this dataset, BASELINE.md r4)
+    rel0 = planted[-1]
+    edge_dict, dest_dict = bagmod.build_dictionaries(
+        graph, rel0, [int(v) for v in label_nodes], node_labels
+    )
+    bag_list, bag_labels = bagmod.create_bags(edge_dict, dest_dict, 0.9)
+    members = sorted(set(m for b in bag_list for m in b))
+    rels = bagmod.connected_relations(graph, bag_members=members)
+    tasks = [(0, rels, bag_list, bag_labels)]
+    log(f"[sweep-util] hop-1 workload: {len(rels)} relations x "
+        f"{len(bag_list)} bags on rel {rel0} "
+        f"(prep {time.time()-t0:.1f}s)")
+
+    stats = []
+    cfg = ScorerConfig(max_restarts=rounds)
+    t0 = time.time()
+    score_bag_tasks(graph, tasks, cfg, np.random.default_rng(0), stats=stats)
+    sweep_wall = time.time() - t0
+    seg_chunks = [c for c in stats if c["mode"] == "seg"]
+    if not seg_chunks:
+        return {"error": "no segment-form chunk at this scale",
+                "chunks": stats}
+    c = max(seg_chunks, key=lambda c: c["R"] * c["E"])
+    R, E, C, P, B, F = c["R"], c["E"], c["C"], c["P"], c["B"], c["F"]
+    epochs = c["epochs"]
+    # per-epoch wall from the real rounds (post-compile min; each round is
+    # ~epochs scan steps + 1 unrolled final epoch + its extra grad step)
+    dev_rounds = c["device_round_s"][1:] or c["device_round_s"]
+    per_epoch = min(dev_rounds) / (epochs + 1)
+
+    # ---- same-shape probes (gather timing is pattern-insensitive on this
+    # chip — benchmarks/GATHER_ROOFLINE.json — so synthetic operands of the
+    # chunk's exact shapes measure the same program costs)
+    rng = np.random.default_rng(0)
+    d = dict(
+        src=jnp.asarray(np.sort(rng.integers(0, C, (R, E)), 1).astype(np.int32)),
+        dst=jnp.asarray(rng.integers(0, C, (R, E)).astype(np.int32)),
+        em=jnp.asarray(np.ones((R, E), bool)),
+        mn=jnp.asarray(rng.integers(0, C, (R, P)).astype(np.int32)),
+        mb=jnp.asarray(np.sort(rng.integers(0, B, (R, P)), 1).astype(np.int32)),
+        mm=jnp.asarray(np.ones((R, P), bool)),
+        x=jnp.asarray(rng.standard_normal((R, C, F)).astype(np.float32)),
+        lab=jnp.asarray(rng.uniform(size=(R, B)).astype(np.float32)),
+        keep=jnp.asarray(np.ones((R, B), np.float32)),
+        u=jnp.asarray(rng.uniform(-0.1, 0.1, (R, F)).astype(np.float32)),
+    )
+    w0 = jnp.asarray(rng.uniform(0, 1, (R, C)).astype(np.float32))
+
+    def fwd_one(w_r, u_r, src_r, dst_r, em_r, mn_r, mb_r, mm_r, lab_r,
+                keep_r, x_r):
+        lin = x_r @ u_r
+        vals = jnp.where(em_r, w_r[dst_r] * lin[src_r], -jnp.inf)
+        _, win_e, has = _seg_first_max(vals, src_r, em_r, C)
+        member_value = jnp.where(has, w_r[dst_r[win_e]] * lin, 0.0)
+        mvals = jnp.where(mm_r, member_value[mn_r], -jnp.inf)
+        _, win_m, bhas = _seg_first_max(mvals, mb_r, mm_r, B)
+        pred = jnp.where(bhas, mvals[win_m], 0.0)
+        return jnp.sum((pred - lab_r) ** 2 * keep_r)
+
+    def loss_all(w):
+        return jnp.sum(jax.vmap(fwd_one)(
+            w, d["u"], d["src"], d["dst"], d["em"], d["mn"], d["mb"],
+            d["mm"], d["lab"], d["keep"], d["x"],
+        ))
+
+    # neighbor-table streaming alone: the [R, E] gathers + the [R, C, F]
+    # lin GEMV, no argmax/segment machinery
+    def stream_all(w):
+        def one(w_r, u_r, src_r, dst_r, em_r, x_r):
+            lin = x_r @ u_r
+            vals = w_r[dst_r] * lin[src_r]
+            return jnp.sum(jnp.where(em_r, vals, 0.0))
+        return jnp.sum(jax.vmap(one)(
+            w, d["u"], d["src"], d["dst"], d["em"], d["x"],
+        ))
+
+    # contiguous read of the same persistent operand bytes — the rate the
+    # chip gives an ideal single pass over everything an epoch must touch
+    def ref_all(w):
+        def one(src_r, dst_r, em_r, mn_r, mb_r, mm_r, x_r):
+            ints = (jnp.sum(src_r) + jnp.sum(dst_r) + jnp.sum(mn_r)
+                    + jnp.sum(mb_r))
+            bools = jnp.sum(em_r) + jnp.sum(mm_r)
+            return ints.astype(jnp.float32) + bools + jnp.sum(x_r)
+        return jnp.sum(jax.vmap(one)(
+            d["src"], d["dst"], d["em"], d["mn"], d["mb"], d["mm"], d["x"],
+        )) + jnp.sum(w) * 1e-30
+
+    def dep(w, s):
+        return w + s * 1e-30
+
+    t_fwd = _timed_scan(lambda w: dep(w, loss_all(w)), w0)
+    t_fb = _timed_scan(
+        lambda w: w + jax.grad(loss_all)(w) * 1e-30
+        + loss_all(w) * 1e-30, w0,
+    )
+    t_stream = _timed_scan(lambda w: dep(w, stream_all(w)), w0)
+    t_ref = _timed_scan(lambda w: dep(w, ref_all(w)), w0)
+
+    table_bytes = R * (E * 9 + P * 9 + C * F * 4)
+    floor_ms = 2 * t_ref * 1e3  # fwd + bwd each stream the tables once
+    out = {
+        "workload": {
+            "folder": folder, "relations": len(rels),
+            "bags": len(bag_list), "rounds_measured": rounds,
+            "sweep_wall_s": round(sweep_wall, 1),
+            "chunks": [
+                {k: c2[k] for k in ("mode", "R", "E", "C", "P", "B")}
+                for c2 in stats
+            ],
+        },
+        "chunk": {"R": R, "E": E, "C": C, "P": P, "B": B, "F": F},
+        "per_epoch_ms": round(per_epoch * 1e3, 3),
+        "round_ms": round(min(dev_rounds) * 1e3, 1),
+        "probe_fwd_ms": round(t_fwd * 1e3, 3),
+        "probe_fwd_bwd_ms": round(t_fb * 1e3, 3),
+        "probe_stream_ms": round(t_stream * 1e3, 3),
+        "probe_stream_ref_ms": round(t_ref * 1e3, 3),
+        "split_ms": {
+            "stream": round(t_stream * 1e3, 3),
+            "argmax_segmax": round((t_fwd - t_stream) * 1e3, 3),
+            "backward": round((t_fb - t_fwd) * 1e3, 3),
+            "optimizer_rest": round((per_epoch - t_fb) * 1e3, 3),
+        },
+        "table_bytes_per_epoch": table_bytes,
+        "stream_gbs": round(table_bytes / t_ref / 1e9, 1),
+        "epoch_floor_ms": round(floor_ms, 3),
+        "pct_of_measured_stream_roofline": round(
+            100 * floor_ms / (per_epoch * 1e3), 1
+        ),
+    }
+    log(f"[sweep-util] chunk R={R} E={E} C={C} P={P}: epoch "
+        f"{per_epoch*1e3:.2f} ms = stream {t_stream*1e3:.2f} + segmax "
+        f"{(t_fwd-t_stream)*1e3:.2f} + bwd {(t_fb-t_fwd)*1e3:.2f} + "
+        f"opt/rest {(per_epoch-t_fb)*1e3:.2f}; 2x-stream floor "
+        f"{floor_ms:.2f} ms = {out['pct_of_measured_stream_roofline']}% "
+        f"of the epoch ({out['stream_gbs']} GB/s contiguous)")
+    return out
+
+
 def bench_agg_roofline(n=500_000, e=10_000_000, f=16, iters=20):
     """North-star-scale aggregation roofline (VERDICT r1 'what's weak' #1):
     effective GB/s and %-of-HBM-peak of the sorted-CSR Pallas kernel and the
@@ -560,6 +741,11 @@ def main():
     except Exception as exc:  # additive, never fatal
         log(f"[train-at-scale] failed: {exc!r}")
         scale = {"error": repr(exc)}
+    try:
+        sweep = bench_sweep_utilization()
+    except Exception as exc:  # additive, never fatal
+        log(f"[sweep-util] failed: {exc!r}")
+        sweep = {"error": repr(exc)}
 
     # HEADLINE = the north-star-scale training number (N=200k / E=10M /
     # hidden=64 under backend='auto'), not the 5k-node toy — the toy's
@@ -583,6 +769,7 @@ def main():
         },
         "agg_roofline_10m_edges": agg,
         "train_at_scale_10m_edges": scale,
+        "sweep_utilization_kg237": sweep,
     }
     if value is None:  # at-scale section failed: fall back to the toy
         payload["metric"] = "mpgnn_train_edges_per_s"

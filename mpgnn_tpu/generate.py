@@ -50,6 +50,13 @@ def main(argv=None):
     kp.add_argument("--num_heads", type=int, default=None)
     kp.add_argument("--seed", type=int, default=0)
     kp.add_argument("--out", type=str, required=True)
+    kp.add_argument("--format", type=str, default="dat",
+                    choices=["dat", "npy"],
+                    help="'dat' = the five reference text files; 'npy' = "
+                         "binary per-array .npy files + a float32 feature "
+                         "memmap (the out-of-core loading path — at 100M+ "
+                         "edges text serialization alone costs minutes and "
+                         "the loader would parse GBs of TSV)")
 
     args = ap.parse_args(argv)
     if args.cmd == "synthetic":
@@ -71,14 +78,20 @@ def main(argv=None):
                if args.multiclass else "")
         )
     elif args.cmd == "powerlaw":
-        from mpgnn_tpu.graph.generate import generate_powerlaw_kg
+        from mpgnn_tpu.graph.generate import (
+            generate_powerlaw_kg,
+            write_npy_dir,
+        )
 
         g = generate_powerlaw_kg(
             args.num_nodes, args.num_edges, args.num_relations,
             metapath_len=args.metapath_len, alpha=args.alpha,
             rel_alpha=args.rel_alpha, num_heads=args.num_heads,
-            seed=args.seed, out_dir=args.out,
+            seed=args.seed,
+            out_dir=args.out if args.format == "dat" else None,
         )
+        if args.format == "npy":
+            write_npy_dir(args.out, g, args.num_relations)
         import numpy as _np
 
         deg = _np.bincount(g["src"], minlength=args.num_nodes)

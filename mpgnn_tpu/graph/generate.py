@@ -461,6 +461,55 @@ def write_dat_files(out_dir: str, g: dict) -> None:
                 f.write(" ".join(str(v) for v in g[key]) + " \n")
 
 
+def write_npy_dir(out_dir: str, g: dict, num_relations: int) -> None:
+    """Binary dataset layout for beyond-text-scale graphs (100M+ edges).
+
+    Per-array ``.npy`` files (loadable with ``np.load(..., mmap_mode='r')``
+    — the out-of-core ingestion path ``load_npy_dir`` uses) plus the node
+    features as a raw float32 memmap ``x.f32`` so training never
+    materializes them in RAM. The ``.dat`` text files serialize the same
+    graph in minutes of pure python I/O at this scale; this writes at disk
+    bandwidth."""
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "src.npy"), g["src"].astype(np.int32))
+    np.save(os.path.join(out_dir, "dst.npy"), g["dst"].astype(np.int32))
+    np.save(os.path.join(out_dir, "rel.npy"), g["rel"].astype(np.int32))
+    np.save(os.path.join(out_dir, "labels.npy"), g["labels"].astype(np.int8))
+    np.save(os.path.join(out_dir, "label_nodes.npy"),
+            g["label_nodes"].astype(np.int64))
+    x = g["node_features"].astype(np.float32)
+    mm = np.memmap(os.path.join(out_dir, "x.f32"), dtype=np.float32,
+                   mode="w+", shape=x.shape)
+    mm[:] = x
+    mm.flush()
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        import json
+
+        json.dump({
+            "num_nodes": int(x.shape[0]), "feat_dim": int(x.shape[1]),
+            "num_edges": int(len(g["src"])),
+            "num_relations": int(num_relations),
+            "metapath_relations": list(map(int, g["metapath_relations"])),
+        }, f)
+
+
+def load_npy_dir(folder: str):
+    """Load a ``write_npy_dir`` dataset with O(1) RAM for the big arrays.
+
+    Returns ``(meta, x_memmap, src, dst, rel, labels, label_nodes)`` where
+    ``x`` is a read-only float32 memmap and the edge arrays are
+    ``mmap_mode='r'`` views — nothing is materialized until touched."""
+    import json
+
+    with open(os.path.join(folder, "meta.json")) as f:
+        meta = json.load(f)
+    x = np.memmap(os.path.join(folder, "x.f32"), dtype=np.float32, mode="r",
+                  shape=(meta["num_nodes"], meta["feat_dim"]))
+    ld = lambda n: np.load(os.path.join(folder, n), mmap_mode="r")  # noqa: E731
+    return (meta, x, ld("src.npy"), ld("dst.npy"), ld("rel.npy"),
+            ld("labels.npy"), ld("label_nodes.npy"))
+
+
 def read_planted_metapath(folder: str) -> List[int]:
     """Read the planted relation sequence from metapath.dat (line 2).
 

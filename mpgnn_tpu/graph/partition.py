@@ -62,6 +62,17 @@ def partition_nodes(
     # jitter breaks ties between equal-degree nodes deterministically
     order = np.argsort(-(deg * num_nodes + rng.permutation(num_nodes)),
                        kind="stable")
+    if num_nodes > 500_000:
+        # multi-million-node fast path: snake round-robin over the
+        # degree-sorted order (b0..bP-1, bP-1..b0, ...) — O(N) vectorized
+        # instead of the O(N * P) python greedy loop below, and within ~1
+        # hub degree of its load balance on power-law graphs (each P-wide
+        # stripe of the sorted order spreads its near-equal degrees once
+        # forward, once backward)
+        lane = np.arange(num_nodes) % (2 * num_parts)
+        lane = np.where(lane < num_parts, lane, 2 * num_parts - 1 - lane)
+        part[order] = lane.astype(np.int32)
+        return part
     load = np.zeros(num_parts, dtype=np.int64)
     count = np.zeros(num_parts, dtype=np.int64)
     for v in order:
@@ -139,7 +150,8 @@ class PartitionedHeteroGraph:
         return self._block_nodes[block]
 
     def subgraph(
-        self, blocks: Sequence[int], halo_hops: int = 0, cache: bool = True
+        self, blocks: Sequence[int], halo_hops: int = 0, cache: bool = True,
+        halo_relations: Optional[Sequence[int]] = None,
     ) -> Subgraph:
         """Induced subgraph of the union of ``blocks``, local ids, padded to
         pow2 node/edge buckets so step programs are reused across draws.
@@ -149,17 +161,31 @@ class PartitionedHeteroGraph:
         target_to_source), so every core node's L-hop receptive field is
         complete — core predictions/gradients are then EXACT, not the
         cut-edge Cluster-GCN approximation. Memory grows with the halo; 0
-        keeps the pure Cluster-GCN behavior."""
+        keeps the pure Cluster-GCN behavior.
+
+        ``halo_relations`` restricts the expansion to edges of the given
+        relation types. For FIXED-metapath training only the metapath's
+        relations carry receptive field (each hop aggregates exactly one
+        relation), so expanding along the others buys nothing and — on
+        power-law KGs, where any hub edge pulls the hub and the hub pulls
+        everything — inflates the halo toward the whole graph."""
         blocks_key = tuple(sorted(int(b) for b in set(blocks)))
-        key = (int(halo_hops),) + blocks_key
+        rel_key = (None if halo_relations is None
+                   else tuple(sorted(set(int(r) for r in halo_relations))))
+        key = (int(halo_hops), rel_key) + blocks_key
         if cache and key in self._sub_cache:
             return self._sub_cache[key]
         member = np.zeros(self.num_nodes, dtype=bool)
         for b in blocks_key:
             member[self._block_nodes[b]] = True
         core = member.copy()
+        rel_ok = None
+        if rel_key is not None and int(halo_hops) > 0:
+            rel_ok = np.isin(self.edge_type, np.asarray(rel_key))
         for _ in range(int(halo_hops)):
             grew = member[self.edge_src]      # O(E) streaming pass per hop
+            if rel_ok is not None:
+                grew &= rel_ok
             member[self.edge_dst[grew]] = True
         nodes = np.flatnonzero(member)
         n = len(nodes)

@@ -877,6 +877,7 @@ def score_bag_tasks(
     rng: Optional[np.random.Generator] = None,
     x: Optional[np.ndarray] = None,
     warmer=None,
+    stats: Optional[list] = None,
 ) -> Dict:
     """Bag sweeps for MANY search states at once.
 
@@ -953,6 +954,15 @@ def score_bag_tasks(
             "bag sweep chunk %d/%d: %d instances, mode=%s, pad=%d, C=%d",
             ci + 1, len(chunks), R, mode, pad, cpad,
         )
+        # optional utilization accounting (bench.py [sweep-util]): per-chunk
+        # shapes + per-restart-round device walls, so the sweep's dominant
+        # phase gets a roofline denominator like training does
+        chunk_stat = dict(
+            mode=mode, R=R, E=pad, C=cpad, B=B, M=M, P=P, F=F,
+            epochs=cfg.epochs_bags, device_round_s=[], full_round_s=[],
+        )
+        if stats is not None:
+            stats.append(chunk_stat)
         nodes: List[np.ndarray] = []
         if mode == "ell":
             nbr, mask = _relation_ell_stack(
@@ -1081,6 +1091,7 @@ def score_bag_tasks(
                     mv_full[i][nd] = member_value[i][: len(nd)]
                     win_full[i] = nd[winner[i].clip(0, len(nd) - 1)]
                 w, member_value, winner = w_full, mv_full, win_full
+            chunk_stat["device_round_s"].append(time.time() - t_round)
             log.info(
                 "  bag restart round %d: %d/%d instances active, %.1fs",
                 _round + 1, int(active.sum()), R, time.time() - t_round,
@@ -1119,6 +1130,7 @@ def score_bag_tasks(
                 u0[i] = rng.uniform(-bound, bound, size=F).astype(np.float32)
                 if rest[i] >= cfg.max_consecutive_misses:
                     active[i] = False
+            chunk_stat["full_round_s"].append(time.time() - t_round)
 
         for i, (ti, r) in enumerate(chunk):
             tid = tasks[ti][0]

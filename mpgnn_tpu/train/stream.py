@@ -51,6 +51,13 @@ def _group_blocks(
     return [sorted(order[i : i + q].tolist()) for i in range(0, num_parts, q)]
 
 
+def _tree_nbytes(tree) -> int:
+    return sum(
+        int(a.nbytes) for a in jax.tree_util.tree_leaves(tree)
+        if hasattr(a, "nbytes")
+    )
+
+
 def train_mpgnn_clustered(
     pgraph: PartitionedHeteroGraph,
     metapaths: Sequence[Sequence[int]],
@@ -61,6 +68,9 @@ def train_mpgnn_clustered(
     seed: int = 0,
     backend: str = "segment",
     halo_hops: Optional[int] = None,
+    resident: Optional[bool] = None,
+    halo_relations: Optional[Sequence[int]] = None,
+    report: Optional[dict] = None,
 ) -> MPGNNTrainResult:
     """Train an MPGNN with subgraph SGD; evaluate group-wise.
 
@@ -72,11 +82,34 @@ def train_mpgnn_clustered(
     receptive field is complete, so gradients and predictions are EXACT and
     the only approximation left is the mini-batch noise itself. Pass 0 for
     the pure Cluster-GCN cut-edge regime (smaller subgraphs, some signal
-    loss)."""
+    loss).
+
+    ``halo_relations``: restrict halo expansion to these relation types
+    (default: the union of the trained metapaths' relations — for a FIXED
+    metapath only those relations carry receptive field, see
+    ``PartitionedHeteroGraph.subgraph``). Pass an explicit list (or all
+    relations) to widen.
+
+    ``report``: optional dict filled with observability stats (per-group
+    real sizes, metapath-edge counts, phase walls, transfer bytes, device
+    peak memory when the backend exposes it).
+
+    ``resident`` controls where prepared group operands live between steps:
+    True pins every group's arrays in HBM once (fastest when they fit);
+    False streams each step's operands host->device with a one-group
+    lookahead prefetch (``jax.device_put`` is async, so the next group's
+    transfer overlaps the current step's compute) — peak HBM is then
+    O(one subgraph), the whole point of out-of-core training on
+    beyond-HBM graphs. Default None picks resident only when all groups
+    fit comfortably in the device budget."""
+    import time
+
     cfg = cfg or MPGNNConfig()
     metapaths = [list(mp) for mp in metapaths]
     if halo_hops is None:
         halo_hops = max((len(mp) for mp in metapaths), default=0)
+    if halo_relations is None:
+        halo_relations = sorted(set(r for mp in metapaths for r in mp))
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     init_key, drop_key = jax.random.split(key)
@@ -128,42 +161,121 @@ def train_mpgnn_clustered(
     step_kinds = [None]
 
     def sub_arrays(sub: Subgraph):
+        """HOST-side operand tuple for one group (numpy leaves): transfer
+        policy (resident pin vs per-step streaming) is decided below."""
         hop_ops = build_hop_arrays(sub.graph, metapaths, backend=backend)
         kinds, data = split_hop_ops(hop_ops)
         step_kinds[0] = kinds
         tmask = in_train[sub.nodes] & sub.core_mask
         y = y_full[sub.nodes]
         return (
-            jnp.asarray(sub.graph.x), data,
-            jnp.asarray(tmask), jnp.asarray(y.astype(np.int32)),
+            np.asarray(sub.graph.x, dtype=np.float32), data,
+            tmask, y.astype(np.int32),
         )
 
     # fixed grouping (drawn once) -> the subgraph cache and the compiled
     # step set stay small; epoch order is reshuffled every epoch
+    t_prep = time.time()
     groups = _group_blocks(pgraph.num_parts, blocks_per_step, rng)
     prepared = []
     for g in groups:
-        sub = pgraph.subgraph(g, halo_hops=halo_hops)
+        sub = pgraph.subgraph(
+            g, halo_hops=halo_hops, halo_relations=halo_relations
+        )
         prepared.append((sub, sub_arrays(sub)))
+    mp_rels = sorted(set(r for mp in metapaths for r in mp))
+    if report is not None:
+        report["groups"] = [
+            {
+                "blocks": list(map(int, g)),
+                "real_nodes": int(sub.num_real_nodes),
+                "real_edges": int(sub.num_real_edges),
+                "pad_nodes": int(len(sub.nodes)),
+                "mp_edges": int(sum(
+                    int(sub.graph.rel_counts[r]) for r in mp_rels
+                )),
+                "host_bytes": _tree_nbytes(arrs),
+            }
+            for g, (sub, arrs) in zip(groups, prepared)
+        ]
+        report["prep_s"] = round(time.time() - t_prep, 1)
+        report["halo_hops"] = int(halo_hops)
+        report["halo_relations"] = list(map(int, halo_relations))
+
+    if resident is None:
+        # pin everything on device only when it clearly fits; streaming is
+        # the out-of-core path this subsystem exists for
+        from mpgnn_tpu.train.loops import auto_dense_budget_bytes
+
+        try:
+            budget = auto_dense_budget_bytes()
+        except Exception:
+            budget = 4 << 30
+        resident = sum(_tree_nbytes(a) for _, a in prepared) < 0.5 * budget
+
+    if resident:
+        prepared = [
+            (sub, jax.device_put(arrs)) for sub, arrs in prepared
+        ]
+        fetch = release = lambda gi: prepared[gi][1]
+    else:
+        # one-group lookahead prefetch: device_put is async, so group k+1's
+        # host->device transfer rides under group k's step compute; buffers
+        # are dropped after use so peak HBM stays O(one subgraph)
+        inflight: dict = {}
+
+        def fetch(gi):
+            if gi not in inflight:
+                inflight[gi] = jax.device_put(prepared[gi][1])
+            return inflight[gi]
+
+        def release(gi):
+            inflight.pop(gi, None)
 
     last_loss = 0.0
     it = 0
+    t_train = time.time()
     for _epoch in range(cfg.epochs):
-        for gi in rng.permutation(len(prepared)):
-            sub, (x, data, tmask, y) = prepared[gi]
+        order = rng.permutation(len(prepared))
+        for oi, gi in enumerate(order):
+            x, data, tmask, y = fetch(gi)
+            if oi + 1 < len(order):
+                fetch(order[oi + 1])        # prefetch the next group
             params, opt_state, loss = step(
-                params, opt_state, x, data, tmask, y,
-                jax.random.fold_in(drop_key, it),
+                params, opt_state, x, data, jnp.asarray(tmask),
+                jnp.asarray(y), jax.random.fold_in(drop_key, it),
             )
+            release(gi)
             it += 1
         last_loss = float(loss)
+    if report is not None:
+        jax.block_until_ready(params)
+        report["train_s"] = round(time.time() - t_train, 1)
+        report["epochs"] = int(cfg.epochs)
+        report["steps"] = it
+        report["resident"] = bool(resident)
+        report["mp_edges_per_epoch"] = int(
+            sum(g["mp_edges"] for g in report.get("groups", []))
+        )
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            report["device_peak_bytes"] = int(
+                ms.get("peak_bytes_in_use", 0)
+            )
+        except Exception:
+            pass
 
     # ---------------------------------------------------- group-wise eval
+    t_eval = time.time()
     preds = np.zeros(pgraph.num_nodes, dtype=np.int64)
-    for sub, (x, data, _tmask, _y) in prepared:
+    for gi, (sub, _arrs) in enumerate(prepared):
+        x, data, _tmask, _y = fetch(gi)
         p = np.asarray(predict(params, x, data))
+        release(gi)
         core = sub.core_mask          # every node is core in exactly 1 group
         preds[sub.nodes[core]] = p[core]
+    if report is not None:
+        report["eval_s"] = round(time.time() - t_eval, 1)
 
     def f1(idx, y):
         idx = np.asarray(idx)
