@@ -309,18 +309,66 @@ def _seg_first_max(vals, src_r, em_r, num_nodes: int):
     stable-sorted by source) is the first occurrence in file order
     (model.py:85). Comparisons carry no gradient, so downstream gathers
     through the winner index give the max element — and only it — the
-    gradient, like the reference's index-assignment autograd."""
-    E = vals.shape[0]
-    seg_max = jax.ops.segment_max(
-        vals, src_r, num_segments=num_nodes, indices_are_sorted=True
-    )
+    gradient, like the reference's index-assignment autograd.
+
+    Convenience form: derives the segment constants every call. The epoch
+    loops use ``_seg_boundaries`` once per program + ``_seg_first_max_scan``
+    per epoch instead — the two XLA segment ops here lower to the
+    serialized scatter strategy (~34M lanes/s measured on v5e; the round-5
+    [sweep-util] block showed them at 51% of the bag-sweep epoch), while
+    the scan form runs on the VPU with only an O(C) gather per epoch."""
+    bound = _seg_boundaries(src_r, em_r, num_nodes)
+    return _seg_first_max_scan(vals, *bound)
+
+
+def _seg_boundaries(src_r, em_r, num_nodes: int):
+    """Epoch-invariant segment constants of a sorted masked id list:
+    (start flags [E], per-segment end position [C], has-real-entry [C]).
+    The one E->C scatter lives HERE — outside the epoch scan — so the
+    per-epoch reduction (``_seg_first_max_scan``) never scatters."""
+    E = src_r.shape[0]
     eidx = jnp.arange(E, dtype=jnp.int32)
-    cand = jnp.where(em_r & (vals >= seg_max[src_r]), eidx, E)
-    win_e = jax.ops.segment_min(
-        cand, src_r, num_segments=num_nodes, indices_are_sorted=True
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), src_r[1:] != src_r[:-1]]
     )
-    has = win_e < E
-    return seg_max, jnp.minimum(win_e, E - 1), has
+    end_pos = jax.ops.segment_max(
+        eidx, src_r, num_segments=num_nodes, indices_are_sorted=True
+    )
+    end_pos = jnp.clip(end_pos, 0, E - 1)    # empty segments -> masked
+    has = jax.ops.segment_max(
+        em_r.astype(jnp.int32), src_r, num_segments=num_nodes,
+        indices_are_sorted=True,
+    ) > 0
+    return start, end_pos, has
+
+
+def _seg_first_max_scan(vals, start, end_pos, has):
+    """Scan-form segmented first-max (see ``_seg_first_max``): a segmented
+    associative scan (first-maximum monoid with segment-start resets) over
+    the value stream, then an O(C) gather at the precomputed segment ends.
+    The running (max, first-argmax) pair at a segment's END is the
+    segment's result; ties keep the LEFT index, preserving the
+    first-occurrence semantics. ``vals`` is stop_gradient'ed: callers use
+    only the integer winner index (gathering through it routes the
+    gradient to the max element, exactly as before)."""
+    E = vals.shape[0]
+    vals = jax.lax.stop_gradient(vals)
+    eidx = jnp.arange(E, dtype=jnp.int32)
+
+    def combine(a, b):
+        ab, av, ax = a
+        bb, bv, bx = b
+        take_b = bb | (bv > av)              # strict > : ties keep LEFT
+        return (
+            ab | bb,
+            jnp.where(bb, bv, jnp.maximum(av, bv)),
+            jnp.where(take_b, bx, ax),
+        )
+
+    _, v, x = jax.lax.associative_scan(combine, (start, vals, eidx))
+    seg_max = jnp.where(has, v[end_pos], -jnp.inf)
+    win_e = jnp.where(has, x[end_pos], 0)
+    return seg_max, win_e, has
 
 
 @partial(jax.jit, static_argnames=("epochs", "lr"))
@@ -352,10 +400,13 @@ def _flat_sweep_seg(
 
     def one_relation(w0_r, src_r, dst_r, em_r, lmask_r, y_r, denom_r, const_r):
         C = w0_r.shape[0]
+        # epoch-invariant segment constants: XLA hoists them out of the
+        # epoch scan, so the per-epoch argmax is scatter-free
+        ebound = _seg_boundaries(src_r, em_r, C)
 
         def loss_fn(w):
             vals = jnp.where(em_r, w[dst_r], -jnp.inf)
-            _, win_e, has = _seg_first_max(vals, src_r, em_r, C)
+            _, win_e, has = _seg_first_max_scan(vals, *ebound)
             pred = jnp.where(has, w[dst_r[win_e]], 0.0)
             return (jnp.sum((pred - y_r) ** 2 * lmask_r) + const_r) / denom_r
 
@@ -688,16 +739,22 @@ def _bag_round_seg(
                      bag_labels, keep_r, gmask_r, fmask_r, x_r):
         C = w0_r.shape[0]
         B = bag_labels.shape[0]
+        # epoch-invariant segment constants (edge + member streams): XLA
+        # hoists them out of the epoch scan — the per-epoch argmaxes are
+        # then scatter-free VPU scans ([sweep-util] measured the old
+        # scatter-strategy segment ops at 51% of the epoch)
+        ebound = _seg_boundaries(src_r, em_r, C)
+        mbound = _seg_boundaries(mb_r, mm_r, B)
 
         def forward(w, u):
             lin = x_r @ u                                # [C]
             vals = jnp.where(em_r, w[dst_r] * lin[src_r], -jnp.inf)
-            _, win_e, has = _seg_first_max(vals, src_r, em_r, C)
+            _, win_e, has = _seg_first_max_scan(vals, *ebound)
             member_winner = dst_r[win_e]
             member_value = jnp.where(has, w[member_winner] * lin, 0.0)
             # flattened member segments -> per-bag first-occurrence max
             mvals = jnp.where(mm_r, member_value[mn_r], -jnp.inf)
-            _, win_m, bhas = _seg_first_max(mvals, mb_r, mm_r, B)
+            _, win_m, bhas = _seg_first_max_scan(mvals, *mbound)
             pred = jnp.where(bhas, mvals[win_m], 0.0)
             bag_member = mn_r[win_m]
             winner = member_winner[bag_member]
