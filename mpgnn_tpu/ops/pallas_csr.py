@@ -159,6 +159,140 @@ def _build_one_direction(
     )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DedupCsrBlocking:
+    """Unique-column ("dedup") tile blocking — the gather-volume attack for
+    SKEWED graphs (VERDICT r4 item 5 / benchmarks/TILE_DENSITY.json).
+
+    On power-law relations, many edges of one row block repeat the same
+    gather column (a hub destination): measured unique-(row-block, col)
+    ratios are 3.6-10x on the shipped KGs at 512-row blocks, while uniform
+    graphs sit at ~1.07 (the dense-tile path's negative result — see
+    docs/DESIGN.md). Since the XLA row gather is ISSUE-RATE bound
+    (~201 Mrows/s regardless of pattern), gathering each tile's UNIQUE
+    columns once and fanning them out to edges on the MXU divides the
+    dominant gather cost by that ratio:
+
+      gathered[e] = (onehot_u[ucol] @ y_uniq)[e]   # in-VMEM MXU "gather"
+      out[block] += onehot_row[local] @ gathered   # the classic reduction
+
+    Both one-hots are exact 0/1 bf16, so precision matches the classic
+    kernel. The mean's per-edge weight 1/deg(src) never enters the kernel:
+    it depends only on the forward's OUT row (post-scale [N] outside) and
+    the backward's GATHER row (pre-scale of g outside) — both fuse into
+    XLA elementwise ops. Pad edges carry ucol = U (out of the iota range),
+    so their one-hot column is all-zero; pad unique slots are referenced
+    by no edge, so their gathered garbage never lands."""
+
+    gidx: jax.Array        # [T*U + 1] unique gather cols per tile (+1: the
+                           #   anti-mod-2048 dummy, see CsrBlocking.gidx)
+    ucol: jax.Array        # [T, SUB, LANE] per-edge unique slot, U for pads
+    local: jax.Array       # [T, SUB, LANE] target row in-block (0 for pads)
+    tile_block: jax.Array  # [T] output block id per edge tile
+    scale: jax.Array       # [num_rows] post-scale (fwd: 1/deg of out rows)
+                           #   or [num_gather_rows] pre-scale (bwd)
+    num_rows: int
+    block_rows: int
+    edge_tile: int
+    uniq: int              # U: unique slots per tile
+    scale_is_pre: bool     # True: scale the gathered operand (bwd mode)
+
+    def tree_flatten(self):
+        children = (self.gidx, self.ucol, self.local, self.tile_block,
+                    self.scale)
+        return children, (self.num_rows, self.block_rows, self.edge_tile,
+                          self.uniq, self.scale_is_pre)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+_UNIQ = 512   # unique slots per tile: at most ET/_UNIQ = 4x gather savings
+
+
+def _build_one_direction_dedup(
+    rows: np.ndarray, cols: np.ndarray, scale: np.ndarray,
+    num_rows: int, bm: int, scale_is_pre: bool,
+    num_gather_rows: int | None = None, et: int = _ET, u: int = _UNIQ,
+) -> DedupCsrBlocking:
+    """Tile packing: within each row block (edges sorted by gather column,
+    the classic order) cut a tile when it reaches ``et`` edges OR ``u``
+    distinct columns — so every tile's unique list fits its [u] gather
+    slot. Columns may straddle a cut (they then appear in both tiles'
+    unique lists; correctness is unaffected)."""
+    if num_gather_rows is None:
+        num_gather_rows = num_rows
+    from mpgnn_tpu.native import sort_block_col
+
+    order = sort_block_col(rows, cols, bm)
+    rows, cols = rows[order], cols[order]
+    nb = max(1, -(-num_rows // bm))
+    counts = np.bincount(rows // bm, minlength=nb)
+    offsets = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    # new-column flags + cumulative distinct count per block
+    new_col = np.ones(len(rows), dtype=np.int64)
+    if len(rows):
+        same = (rows[1:] // bm == rows[:-1] // bm) & (cols[1:] == cols[:-1])
+        new_col[1:] = ~same
+    cum_new = np.cumsum(new_col)
+
+    tiles = []          # (block, lo, hi) edge spans
+    for b in range(nb):
+        lo, hi = int(offsets[b]), int(offsets[b + 1])
+        if lo == hi:
+            tiles.append((b, lo, lo))       # empty block: one all-pad tile
+            continue
+        pos = lo
+        while pos < hi:
+            base = cum_new[pos] - new_col[pos]    # distinct before pos
+            # furthest end keeping <= u distinct columns in [pos, end)
+            end_u = int(np.searchsorted(cum_new[pos:hi], base + u,
+                                        side="right")) + pos
+            end = min(pos + et, max(end_u, pos + 1), hi)
+            tiles.append((b, pos, end))
+            pos = end
+    t = len(tiles)
+    gidx = (np.arange(t * u + 1, dtype=np.int64)
+            % max(num_gather_rows, 1)).astype(np.int32)
+    ucol = np.full((t, et), u, dtype=np.int32)       # u = masked-out pads
+    local = np.zeros((t, et), dtype=np.int32)
+    tile_block = np.empty(t, dtype=np.int32)
+    for i, (b, lo, hi) in enumerate(tiles):
+        tile_block[i] = b
+        n = hi - lo
+        if n == 0:
+            continue
+        c = cols[lo:hi]
+        uniq, inv = np.unique(c, return_inverse=True)
+        gidx[i * u: i * u + len(uniq)] = uniq
+        ucol[i, :n] = inv
+        local[i, :n] = rows[lo:hi] - b * bm
+    return DedupCsrBlocking(
+        gidx=jnp.asarray(gidx),
+        ucol=jnp.asarray(ucol.reshape(t, _SUB, _LANE)),
+        local=jnp.asarray(local.reshape(t, _SUB, _LANE)),
+        tile_block=jnp.asarray(tile_block),
+        scale=jnp.asarray(scale.astype(np.float32)),
+        num_rows=num_rows, block_rows=bm, edge_tile=et, uniq=u,
+        scale_is_pre=scale_is_pre,
+    )
+
+
+def dedup_ratio(rows: np.ndarray, cols: np.ndarray, bm: int) -> float:
+    """Edges per unique (row-block, col) pair — the gather-volume savings
+    the dedup blocking can harvest (capped at ET/U = 4x by the tile
+    shape)."""
+    if len(rows) == 0:
+        return 1.0
+    key = (np.asarray(rows) // bm).astype(np.int64) * (
+        int(np.asarray(cols).max()) + 1
+    ) + np.asarray(cols)
+    return float(len(rows) / max(len(np.unique(key)), 1))
+
+
 def _auto_bm(num_rows: int, num_edges: int) -> int:
     """Row-block size targeting ~2 edge tiles per block: the in-kernel
     one-hot build costs VPU work proportional to BM per tile, while small
@@ -170,22 +304,55 @@ def _auto_bm(num_rows: int, num_edges: int) -> int:
     return int(min(bm, 2048))
 
 
+import os as _os
+
+# a direction routes to the dedup blocking when its (row-block, col)
+# repetition clears this ratio: below it the 4x-capped gather savings do
+# not pay for the extra in-kernel fanout matmul
+_DEDUP_MIN_RATIO = float(_os.environ.get("MPGNN_DEDUP_MIN_RATIO", 2.0))
+
+
 def build_csr_blocking(
     src: np.ndarray, dst: np.ndarray, num_nodes: int,
-    bm: int | None = None, et: int = _ET,
+    bm: int | None = None, et: int = _ET, dedup: str = "auto",
 ) -> Tuple[CsrBlocking, CsrBlocking]:
     """(forward, backward) blockings for one relation's mean aggregation.
 
     Forward rows are edge sources (mean over out-edges, weights 1/deg(src));
     backward rows are destinations with the same per-edge weight —
-    ``dx[d] = sum over edges (s->d) of g[s]/deg(s)``."""
+    ``dx[d] = sum over edges (s->d) of g[s]/deg(s)``.
+
+    ``dedup='auto'`` routes each direction to the unique-column tile
+    blocking (``DedupCsrBlocking``) when its measured (row-block, col)
+    repetition ratio clears ``_DEDUP_MIN_RATIO`` — the hub-skew gather
+    attack (power-law KGs measure 3.6-10x; uniform graphs ~1.07 and keep
+    the classic kernel). 'never' / 'always' force a side."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     bm = bm or _auto_bm(num_nodes, len(src))
     deg = np.bincount(src, minlength=num_nodes).astype(np.float32)
-    ew = (1.0 / np.maximum(deg, 1.0))[src]
-    fwd = _build_one_direction(src, dst, ew, num_nodes, bm, et)
-    bwd = _build_one_direction(dst, src, ew, num_nodes, bm, et)
+    inv = (1.0 / np.maximum(deg, 1.0)).astype(np.float32)
+    ew = inv[src]
+
+    def want(rows, cols):
+        if dedup == "never" or len(src) == 0:
+            return False
+        if dedup == "always":
+            return True
+        return dedup_ratio(rows, cols, bm) >= _DEDUP_MIN_RATIO
+
+    if want(src, dst):
+        fwd = _build_one_direction_dedup(
+            src, dst, inv, num_nodes, bm, scale_is_pre=False, et=et
+        )
+    else:
+        fwd = _build_one_direction(src, dst, ew, num_nodes, bm, et)
+    if want(dst, src):
+        bwd = _build_one_direction_dedup(
+            dst, src, inv, num_nodes, bm, scale_is_pre=True, et=et
+        )
+    else:
+        bwd = _build_one_direction(dst, src, ew, num_nodes, bm, et)
     return fwd, bwd
 
 
@@ -251,6 +418,103 @@ def _scatter_call(t: int, nb: int, f: int, bm: int, et: int, dtype_name: str,
     )
 
 
+def _dedup_kernel(bm: int, et: int, u: int, split_f32: bool):
+    def kernel(tb_ref, local_ref, ucol_ref, y_ref, out_ref):
+        t = pl.program_id(0)
+        prev = tb_ref[jnp.maximum(t - 1, 0)]
+        fresh = jnp.logical_or(t == 0, prev != tb_ref[t])
+
+        @pl.when(fresh)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        # input-side one-hot [U, ET]: fans each tile's unique gathered rows
+        # out to its edges on the MXU (pad edges carry ucol = U -> all-zero
+        # column). One-hot @ y is row SELECTION, so casting the f32 result
+        # back to bf16 between the two matmuls is exact (values are the
+        # bf16 hi/lo parts themselves) — precision matches the classic
+        # kernel's hi/lo split.
+        ucols_row = jnp.concatenate(
+            [ucol_ref[0, s, :][None, :] for s in range(_SUB)], axis=1
+        )                                             # [1, ET]
+        uio = jax.lax.broadcasted_iota(jnp.int32, (u, et), 0)
+        oh_in = (uio == ucols_row).astype(jnp.bfloat16)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bm, et), 0)
+        locals_row = jnp.concatenate(
+            [local_ref[0, s, :][None, :] for s in range(_SUB)], axis=1
+        )
+        oh_out = (rows == locals_row).astype(jnp.bfloat16)
+        contract = (((0,), (0,)), ((), ()))           # share the u axis
+
+        def fanout_reduce(part):                      # part: [U, F] bf16
+            g = jax.lax.dot_general(
+                oh_in, part, contract,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)                    # exact: row selection
+            return jnp.dot(oh_out, g, preferred_element_type=jnp.float32)
+
+        y = y_ref[:]
+        if split_f32:
+            hi = y.astype(jnp.bfloat16)
+            lo = (y - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = fanout_reduce(hi) + fanout_reduce(lo)
+        else:
+            acc = fanout_reduce(y)
+        out_ref[:] += acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _dedup_call(t: int, nb: int, f: int, bm: int, et: int, u: int,
+                dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, tb: (i, 0, 0)),
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, tb: (i, 0, 0)),
+            pl.BlockSpec((u, f), lambda i, tb: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, f), lambda i, tb: (tb[i], 0)),
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+    return pl.pallas_call(
+        _dedup_kernel(bm, et, u, dtype == jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bm, f), dtype),
+        interpret=interpret,
+        **kwargs,
+    )
+
+
+def _dedup_apply(blk: DedupCsrBlocking, x: jax.Array) -> jax.Array:
+    """Full dedup-path aggregation: (optional pre-scale) -> unique-col
+    gather -> fanout/reduce kernel -> (optional post-scale) -> slice."""
+    f = x.shape[-1]
+    if blk.scale_is_pre:
+        x = x * blk.scale[:, None]
+    fp = _gather_cols(f, x.dtype)
+    if fp != f:
+        x = jnp.pad(x, ((0, 0), (0, fp - f)))
+    tu = blk.gidx.shape[0] - 1
+    y = x[blk.gidx][:tu]                     # [T*U, fp] unique rows only
+    t = blk.local.shape[0]
+    nb = max(1, (blk.num_rows + blk.block_rows - 1) // blk.block_rows)
+    interpret = jax.devices()[0].platform != "tpu"
+    call = _dedup_call(t, nb, fp, blk.block_rows, blk.edge_tile, blk.uniq,
+                       str(y.dtype), interpret)
+    out = call(blk.tile_block, blk.local, blk.ucol, y)[: blk.num_rows]
+    if not blk.scale_is_pre:
+        out = out * blk.scale[:, None]
+    return out[:, :f]
+
+
 def _segment_apply(blk: CsrBlocking, y: jax.Array) -> jax.Array:
     """Scatter-free segment reduction of pre-gathered edge rows ``y``
     [EP, F] into [num_rows, F] (weights already folded)."""
@@ -300,6 +564,14 @@ def _gather_weighted(blk: CsrBlocking, x: jax.Array) -> jax.Array:
     return x[blk.gidx][:ep] * blk.weight.astype(x.dtype)[:, None]
 
 
+def _apply_direction(blk, x: jax.Array) -> jax.Array:
+    """One direction of the aggregation, dispatching on the blocking kind
+    (classic per-edge gather vs dedup unique-column tiles)."""
+    if isinstance(blk, DedupCsrBlocking):
+        return _dedup_apply(blk, x)
+    return _segment_apply(blk, _gather_weighted(blk, x))[:, : x.shape[-1]]
+
+
 @jax.custom_vjp
 def csr_mean_aggregate(x: jax.Array, fwd: CsrBlocking, bwd: CsrBlocking):
     """out[s] = mean over edges (s, d) of x[d]; rows without edges -> 0.
@@ -311,18 +583,17 @@ def csr_mean_aggregate(x: jax.Array, fwd: CsrBlocking, bwd: CsrBlocking):
     the remote-compile payload once already, docs/DESIGN.md §3). Feature
     rows narrower than 256 bytes run the gather AND the kernel zero-padded
     to 256 B (issue-rate-bound gather: wider rows are faster in wall time,
-    _gather_cols) and slice back at the end."""
-    return _segment_apply(fwd, _gather_weighted(fwd, x))[:, : x.shape[-1]]
+    _gather_cols) and slice back at the end. Either direction may be a
+    ``DedupCsrBlocking`` (hub-skew gather dedup, build_csr_blocking)."""
+    return _apply_direction(fwd, x)
 
 
 def _csr_fwd(x, fwd, bwd):
-    out = _segment_apply(fwd, _gather_weighted(fwd, x))[:, : x.shape[-1]]
-    return out, bwd
+    return _apply_direction(fwd, x), bwd
 
 
 def _csr_bwd(bwd, g):
-    out = _segment_apply(bwd, _gather_weighted(bwd, g))[:, : g.shape[-1]]
-    return out, None, None
+    return _apply_direction(bwd, g), None, None
 
 
 csr_mean_aggregate.defvjp(_csr_fwd, _csr_bwd)

@@ -139,3 +139,84 @@ def test_rect_blocking_pads_stay_in_gather_range():
         # spread covers most of the gather space (a constant pad would
         # concentrate every slot on one row's HBM channel)
         assert len(np.unique(pad_idx)) >= min(len(pad_idx), S) // 2
+
+
+def _ref_pair(n, e, hub_frac, seed, f=8):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    if hub_frac:
+        # hub skew: a fraction of destinations collapse onto 3 hubs
+        m = rng.random(e) < hub_frac
+        dst[m] = rng.choice([1, n // 2, n - 2], size=int(m.sum()))
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    return src, dst, x
+
+
+def test_dedup_blocking_matches_ref_values_and_grad():
+    """The unique-column (dedup) tile path computes the identical mean —
+    values AND gradients — as the XLA segment reference, on both a hub-
+    skewed graph (the case it exists for) and a uniform one (forced)."""
+    from mpgnn_tpu.ops.pallas_csr import ref_mean
+
+    for hub_frac, seed in ((0.8, 0), (0.0, 1)):
+        n, e = 500, 4000
+        src, dst, x = _ref_pair(n, e, hub_frac, seed)
+        fwd, bwd = build_csr_blocking(src, dst, n, bm=64, dedup="always")
+        from mpgnn_tpu.ops.pallas_csr import DedupCsrBlocking
+
+        assert isinstance(fwd, DedupCsrBlocking)
+        want = np.asarray(ref_mean(jnp.asarray(x), jnp.asarray(src),
+                                   jnp.asarray(dst), n))
+        got = np.asarray(csr_mean_aggregate(jnp.asarray(x), fwd, bwd))
+        # hi/lo bf16 split error (~1e-6 relative at row magnitude, like the
+        # classic kernel; the mean's 1/deg is applied post-sum here)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        def loss_k(x):
+            return jnp.sum(csr_mean_aggregate(x, fwd, bwd) ** 2)
+
+        def loss_r(x):
+            return jnp.sum(ref_mean(x, jnp.asarray(src),
+                                    jnp.asarray(dst), n) ** 2)
+
+        gk = np.asarray(jax.grad(loss_k)(jnp.asarray(x)))
+        gr = np.asarray(jax.grad(loss_r)(jnp.asarray(x)))
+        np.testing.assert_allclose(gk, gr, rtol=1e-4, atol=1e-5)
+
+
+def test_dedup_auto_routing():
+    """'auto' picks the dedup blocking only when the (row-block, col)
+    repetition ratio clears the threshold: hub-skewed -> dedup, uniform
+    -> classic."""
+    from mpgnn_tpu.ops.pallas_csr import CsrBlocking, DedupCsrBlocking
+
+    n, e = 500, 4000
+    src_h, dst_h, _ = _ref_pair(n, e, 0.9, 2)
+    fwd, _bwd = build_csr_blocking(src_h, dst_h, n, bm=64)
+    assert isinstance(fwd, DedupCsrBlocking)
+    src_u, dst_u, _ = _ref_pair(n, e, 0.0, 3)
+    fwd_u, _ = build_csr_blocking(src_u, dst_u, n, bm=64)
+    assert isinstance(fwd_u, CsrBlocking)
+
+
+def test_dedup_tile_unique_cap_respected():
+    """Every tile's unique-column list fits its [U] gather slot, and pad
+    edges carry the out-of-range marker U (their one-hot column is zero)."""
+    from mpgnn_tpu.ops.pallas_csr import _UNIQ, _build_one_direction_dedup
+
+    rng = np.random.default_rng(4)
+    n, e = 3000, 30_000
+    rows = rng.integers(0, n, e)
+    cols = rng.integers(0, n, e)
+    scale = np.ones(n, np.float32)
+    blk = _build_one_direction_dedup(rows, cols, scale, n, 256,
+                                     scale_is_pre=False)
+    t = blk.local.shape[0]
+    ucol = np.asarray(blk.ucol).reshape(t, -1)
+    assert ucol.max() <= _UNIQ
+    # real edges address in-range slots; at least one tile has pads
+    assert (ucol < _UNIQ).sum() == e
+    gidx = np.asarray(blk.gidx)
+    assert gidx.shape[0] == t * _UNIQ + 1
+    assert gidx.max() < n
