@@ -38,17 +38,20 @@ def bench_one(name, src, dst, n, f=64, iters=10):
     e = len(src)
     row = {"name": name, "n": n, "e": e, "f": f}
 
-    def timed(step):
+    def timed(step, *consts):
+        # blockings enter as jit ARGUMENTS: a 10M-edge blocking embedded
+        # as a closure constant blows the remote-compile payload limit
+        # (HTTP 413 — the pitfall csr_mean_aggregate's docstring records)
         @jax.jit
-        def run(c):
+        def run(c, *consts):
             def body(c, _):
-                return step(c), 0
+                return step(c, *consts), 0
             c, _ = jax.lax.scan(body, c, None, length=iters)
             return c.ravel()[0]
 
-        float(run(x))
+        float(run(x, *consts))
         t0 = time.perf_counter()
-        float(run(x))
+        float(run(x, *consts))
         return (time.perf_counter() - t0) / iters
 
     for mode in ("never", "always"):
@@ -62,14 +65,17 @@ def bench_one(name, src, dst, n, f=64, iters=10):
         def dep(c, out):
             return c + jnp.sum(out, axis=0)[None, :] * 1e-30
 
-        t_f = timed(lambda c: dep(c, csr_mean_aggregate(c, fwd, bwd)))
+        t_f = timed(
+            lambda c, f_, b_: dep(c, csr_mean_aggregate(c, f_, b_)),
+            fwd, bwd,
+        )
 
-        def fb(c):
-            y, vjp = jax.vjp(lambda a: csr_mean_aggregate(a, fwd, bwd), c)
+        def fb(c, f_, b_):
+            y, vjp = jax.vjp(lambda a: csr_mean_aggregate(a, f_, b_), c)
             (dx,) = vjp(y)
             return dep(c, dx)
 
-        t_fb = timed(fb)
+        t_fb = timed(fb, fwd, bwd)
         # correctness spot-check on device
         got = csr_mean_aggregate(x, fwd, bwd)
         want = ref_mean(x, jnp.asarray(src.astype(np.int32)),

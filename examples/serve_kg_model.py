@@ -67,6 +67,21 @@ def main():
     lp = pred.log_probs()
     t_first = time.time() - t0
     cls = np.argmax(lp[label_nodes], axis=1)
+
+    # serving latency row (VERDICT r4 item 9): p50/p99 of the jitted
+    # full-graph refresh (the whole model forward at 100k nodes / 1M
+    # edges) and of single-node lookups against the refreshed table
+    lat = sorted(pred.refresh() for _ in range(30))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, graph.num_nodes, 1000)
+    t0 = time.perf_counter()
+    lookup = [pred.predict([int(i)]) for i in ids[:200]]
+    t_lookup = (time.perf_counter() - t0) / 200
+    _ = lookup
+
+    def pct(p):
+        return round(lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3, 1)
+
     out = {
         "metric": "kg_serve_smoke",
         "metapaths": meta,
@@ -75,6 +90,9 @@ def main():
         "train_s": round(t_train, 1),
         "labeled_node_accuracy": round(float((cls == labels).mean()), 4),
         "first_predict_s": round(t_first, 2),
+        "refresh_ms": {"p50": pct(0.5), "p99": pct(0.99),
+                       "n": len(lat)},
+        "single_lookup_us": round(t_lookup * 1e6, 1),
         "model_dir": args.model_dir,
     }
     print(json.dumps(out))

@@ -247,8 +247,11 @@ def _build_one_direction_dedup(
             continue
         pos = lo
         while pos < hi:
-            base = cum_new[pos] - new_col[pos]    # distinct before pos
-            # furthest end keeping <= u distinct columns in [pos, end)
+            # distinct columns the tile [pos, end) will hold, counting the
+            # edge at pos as NEW even when its column straddles the
+            # previous cut (np.unique sees it as a fresh column either
+            # way): cnt(j) = cum_new[j] - (cum_new[pos] - 1)
+            base = cum_new[pos] - 1
             end_u = int(np.searchsorted(cum_new[pos:hi], base + u,
                                         side="right")) + pos
             end = min(pos + et, max(end_u, pos + 1), hi)
@@ -267,6 +270,8 @@ def _build_one_direction_dedup(
             continue
         c = cols[lo:hi]
         uniq, inv = np.unique(c, return_inverse=True)
+        # a silent overflow here would corrupt the NEXT tile's slots
+        assert len(uniq) <= u, (len(uniq), u, i)
         gidx[i * u: i * u + len(uniq)] = uniq
         ucol[i, :n] = inv
         local[i, :n] = rows[lo:hi] - b * bm

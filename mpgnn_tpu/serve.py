@@ -62,6 +62,16 @@ class MetapathPredictor:
             self._logp = np.asarray(self._predict(self.params, self._data))
         return self._logp
 
+    def refresh(self) -> float:
+        """Re-run the jitted full-graph forward (e.g. after a params/
+        feature update) and return the dispatch latency in seconds — the
+        serving-side refresh cost a latency SLO budgets for."""
+        import time
+
+        t0 = time.perf_counter()
+        self._logp = np.asarray(self._predict(self.params, self._data))
+        return time.perf_counter() - t0
+
     def predict(self, node_ids: Optional[Sequence[int]] = None) -> np.ndarray:
         lp = self.log_probs()
         preds = lp.argmax(axis=1)

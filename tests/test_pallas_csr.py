@@ -220,3 +220,24 @@ def test_dedup_tile_unique_cap_respected():
     gidx = np.asarray(blk.gidx)
     assert gidx.shape[0] == t * _UNIQ + 1
     assert gidx.max() < n
+
+
+def test_dedup_powerlaw_straddle_regression():
+    """Regression: a column straddling a tile cut at the unique cap must
+    count against the NEXT tile's unique budget too — the first build
+    overflowed the next tile's [U] gidx slots on power-law endpoints
+    (silent corruption; measured 3.12 max-abs error at 10M-edge scale)."""
+    from mpgnn_tpu.ops.pallas_csr import ref_mean
+
+    rng = np.random.default_rng(7)
+    n, e = 4000, 120_000
+    pop = (np.arange(n, dtype=np.float64) + 1.0) ** -1.2
+    pop /= pop.sum()
+    src = rng.permutation(n)[rng.choice(n, size=e, p=pop)]
+    dst = rng.permutation(n)[rng.choice(n, size=e, p=pop)]
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    fwd, bwd = build_csr_blocking(src, dst, n, bm=128, dedup="always")
+    got = np.asarray(csr_mean_aggregate(jnp.asarray(x), fwd, bwd))
+    want = np.asarray(ref_mean(jnp.asarray(x), jnp.asarray(src),
+                               jnp.asarray(dst), n))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
