@@ -38,7 +38,14 @@ def main():
     ap.add_argument("--blocks_per_step", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--hidden_dim", type=int, default=64)
-    ap.add_argument("--backend", type=str, default="csr")
+    ap.add_argument("--backend", type=str, default="segment",
+                    help="'segment' enables the fused whole-run-as-one-"
+                         "dispatch program (the tunnel charges ~1s per "
+                         "dispatch, which dominated the per-step mode's "
+                         "128 dispatches: 145.6s train); 'csr' runs the "
+                         "streamed per-step mode")
+    ap.add_argument("--no_fused", action="store_true",
+                    help="force the streamed per-step mode")
     args = ap.parse_args()
 
     if args.platform:
@@ -79,11 +86,12 @@ def main():
 
     cfg = MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim)
     report = {}
+    fused = args.backend == "segment" and not args.no_fused
     t0 = time.time()
     res = train_mpgnn_clustered(
         pg, [planted], split, 2, cfg,
         blocks_per_step=args.blocks_per_step, backend=args.backend,
-        resident=False, report=report,
+        resident=False, report=report, fused=fused,
     )
     wall = time.time() - t0
     mp_eps = (
@@ -97,7 +105,7 @@ def main():
         "nodes": meta["num_nodes"], "edges": meta["num_edges"],
         "parts": args.parts, "blocks_per_step": args.blocks_per_step,
         "epochs": args.epochs, "hidden": args.hidden_dim,
-        "backend": args.backend,
+        "backend": args.backend, "fused": fused,
         "partition_s": round(t_part, 1),
         "wall_s": round(wall, 1),
         "train_s": report.get("train_s"),

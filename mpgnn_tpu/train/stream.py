@@ -71,6 +71,7 @@ def train_mpgnn_clustered(
     resident: Optional[bool] = None,
     halo_relations: Optional[Sequence[int]] = None,
     report: Optional[dict] = None,
+    fused: bool = False,
 ) -> MPGNNTrainResult:
     """Train an MPGNN with subgraph SGD; evaluate group-wise.
 
@@ -93,6 +94,18 @@ def train_mpgnn_clustered(
     ``report``: optional dict filled with observability stats (per-group
     real sizes, metapath-edge counts, phase walls, transfer bytes, device
     peak memory when the backend exposes it).
+
+    ``fused=True`` (requires ``backend='segment'``) runs the ENTIRE
+    training — every epoch, every group visit — as ONE jitted device
+    program: group operands are padded to common pow2 buckets, stacked on
+    a leading group axis, and a scan over (epoch, permuted group) slices
+    each visit's operands on device. On dispatch-latency-heavy links
+    (this image's TPU tunnel charges ~1 s per host->device dispatch,
+    which dominated the 100M-edge run's 128 per-step dispatches) this is
+    the difference between dispatch-bound and compute-bound training.
+    Group order and the dropout-step counter match the streaming mode;
+    dropout MASKS differ (they are drawn at the common padded shape), so
+    results are statistically — not bit — identical to streaming.
 
     ``resident`` controls where prepared group operands live between steps:
     True pins every group's arrays in HBM once (fastest when they fit);
@@ -162,10 +175,14 @@ def train_mpgnn_clustered(
 
     def sub_arrays(sub: Subgraph):
         """HOST-side operand tuple for one group (numpy leaves): transfer
-        policy (resident pin vs per-step streaming) is decided below."""
+        policy (resident pin vs per-step streaming) is decided below.
+        build_hop_arrays returns device (jnp) leaves — pull them back to
+        host so streaming mode really holds only the in-flight groups in
+        HBM (the leaves re-upload via the prefetching device_put)."""
         hop_ops = build_hop_arrays(sub.graph, metapaths, backend=backend)
         kinds, data = split_hop_ops(hop_ops)
         step_kinds[0] = kinds
+        data = jax.tree_util.tree_map(np.asarray, data)
         tmask = in_train[sub.nodes] & sub.core_mask
         y = y_full[sub.nodes]
         return (
@@ -201,6 +218,14 @@ def train_mpgnn_clustered(
         report["prep_s"] = round(time.time() - t_prep, 1)
         report["halo_hops"] = int(halo_hops)
         report["halo_relations"] = list(map(int, halo_relations))
+
+    if fused:
+        if any(k != "segment" for row in (step_kinds[0] or []) for k in row):
+            raise ValueError("fused=True requires backend='segment'")
+        return _train_fused(
+            pgraph, prepared, cfg, tx, params, opt_state, drop_key, rng,
+            compute_dtype, split, num_classes, step_kinds[0], report,
+        )
 
     if resident is None:
         # pin everything on device only when it clearly fits; streaming is
@@ -287,4 +312,140 @@ def train_mpgnn_clustered(
         test_f1=f1(split.test_idx, split.test_y),
         train_f1=f1(split.train_idx, split.train_y),
         final_loss=last_loss,
+    )
+
+
+def _train_fused(
+    pgraph, prepared, cfg, tx, params, opt_state, drop_key, rng,
+    compute_dtype, split, num_classes, kinds, report,
+):
+    """Whole-run-as-one-program clustered training (see
+    ``train_mpgnn_clustered(fused=True)``): group operands padded to
+    common pow2 buckets, stacked on a leading group axis, and a
+    scan-over-(epoch, permuted group) slices each visit's operands ON
+    DEVICE — one training dispatch and one eval dispatch total."""
+    import time
+
+    from mpgnn_tpu.models.mpgnn import mpgnn_forward
+    from mpgnn_tpu.train.loops import retag_hop_ops
+    from mpgnn_tpu.train.metrics import macro_f1_np
+
+    t0 = time.time()
+    G = len(prepared)
+    F = prepared[0][1][0].shape[1]
+    n_max = max(arrs[0].shape[0] for _, arrs in prepared)
+    xs = np.zeros((G, n_max, F), np.float32)
+    tms = np.zeros((G, n_max), bool)
+    yss = np.zeros((G, n_max), np.int32)
+    for g, (_sub, (x, _d, tm, y)) in enumerate(prepared):
+        n = x.shape[0]
+        xs[g, :n] = x
+        tms[g, :n] = tm
+        yss[g, :n] = y
+    data_stk = []
+    for p, row in enumerate(kinds):
+        prow = []
+        for h in range(len(row)):
+            e_max = max(arrs[1][p][h][0].shape[0] for _, arrs in prepared)
+            src = np.full((G, e_max), n_max - 1, np.int32)  # pad node
+            dst = np.zeros((G, e_max), np.int32)
+            mk = np.zeros((G, e_max), bool)
+            inv = np.zeros((G, n_max), np.float32)
+            for g, (_sub, (_x, d, _tm, _y)) in enumerate(prepared):
+                s_g, d_g, m_g, i_g = d[p][h]
+                e, n = s_g.shape[0], i_g.shape[0]
+                src[g, :e], dst[g, :e], mk[g, :e] = s_g, d_g, m_g
+                inv[g, :n] = i_g
+            prow.append((src, dst, mk, inv))
+        data_stk.append(prow)
+    perms = np.stack(
+        [rng.permutation(G) for _ in range(cfg.epochs)]
+    ).astype(np.int32)
+
+    def slice_ops(data, gi):
+        return [
+            [tuple(leaf[gi] for leaf in hop) for hop in row]
+            for row in data
+        ]
+
+    @jax.jit
+    def run(params, opt_state, xs, data, tms, yss, perms):
+        def visit(carry, it_gi):
+            p, st, _ = carry
+            it, gi = it_gi
+            ops = retag_hop_ops(kinds, slice_ops(data, gi))
+            x, tm, y = xs[gi], tms[gi], yss[gi]
+
+            def loss_fn(p):
+                out = mpgnn_forward(
+                    p, x, ops, dropout_rate=cfg.dropout,
+                    dropout_rng=jax.random.fold_in(drop_key, it),
+                    train=True, compute_dtype=compute_dtype,
+                )
+                per = -jnp.take_along_axis(out, y[:, None], axis=1)[:, 0]
+                w = tm.astype(jnp.float32)
+                return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            upd, st = tx.update(grads, st, p)
+            return (optax.apply_updates(p, upd), st, loss), None
+
+        its = jnp.arange(perms.size, dtype=jnp.int32)
+        gis = perms.reshape(-1)
+        (p, st, loss), _ = jax.lax.scan(
+            visit, (params, opt_state, jnp.float32(0.0)),
+            (its, gis),
+        )
+
+        def pred_one(_, gi):
+            ops = retag_hop_ops(kinds, slice_ops(data, gi))
+            out = mpgnn_forward(
+                p, xs[gi], ops, train=False, compute_dtype=compute_dtype
+            )
+            return None, jnp.argmax(out, axis=1)
+
+        _, preds = jax.lax.scan(
+            pred_one, None, jnp.arange(G, dtype=jnp.int32)
+        )
+        return p, loss, preds
+
+    params_f, last_loss, preds_g = run(
+        params, opt_state, xs, data_stk, tms, yss, perms
+    )
+    preds_g = np.asarray(preds_g)
+    if report is not None:
+        report["train_s"] = round(time.time() - t0, 1)
+        report["fused"] = True
+        report["epochs"] = int(cfg.epochs)
+        report["steps"] = int(perms.size)
+        report["stacked_bytes"] = int(
+            xs.nbytes + tms.nbytes + yss.nbytes + sum(
+                leaf.nbytes for row in data_stk for hop in row
+                for leaf in hop
+            )
+        )
+        report["mp_edges_per_epoch"] = int(sum(
+            g["mp_edges"] for g in report.get("groups", [])
+        ))
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            report["device_peak_bytes"] = int(ms.get("peak_bytes_in_use", 0))
+        except Exception:
+            pass
+
+    preds = np.zeros(pgraph.num_nodes, dtype=np.int64)
+    for g, (sub, _arrs) in enumerate(prepared):
+        core = sub.core_mask
+        preds[sub.nodes[core]] = preds_g[g][core]
+
+    def f1(idx, y):
+        idx = np.asarray(idx)
+        return float(macro_f1_np(preds[idx], np.asarray(y), num_classes))
+
+    return MPGNNTrainResult(
+        params=params_f,
+        val_f1=f1(split.val_idx, split.val_y),
+        test_f1=f1(split.test_idx, split.test_y),
+        train_f1=f1(split.train_idx, split.train_y),
+        final_loss=float(last_loss),
     )

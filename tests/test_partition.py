@@ -151,3 +151,31 @@ def test_edge_cut_fraction_monotone(planted):
     cuts = [pg.edge_cut_fraction(q) for q in (1, 2, 4)]
     assert cuts[0] >= cuts[1] >= cuts[2]
     assert cuts[2] == pytest.approx(0.0)
+
+
+@pytest.mark.slow
+def test_fused_clustered_matches_streaming_quality():
+    """fused=True (whole run as one device program) reaches the same
+    planted-task quality as the streamed per-step mode — same group
+    order and dropout counter, masks drawn at the common padded shape."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from mpgnn_tpu.config import MPGNNConfig
+    from mpgnn_tpu.graph.generate import generate_synthetic_graph
+    from mpgnn_tpu.graph.io import split_nodes
+    from mpgnn_tpu.graph.partition import PartitionedHeteroGraph
+    from mpgnn_tpu.train.stream import train_mpgnn_clustered
+
+    g = generate_synthetic_graph(3000, 6, "red-red-blue", seed=2)
+    pg = PartitionedHeteroGraph(
+        g["node_features"].astype(np.float32), g["src"], g["dst"],
+        g["rel"], 4, 6, labels=g["labels"],
+    )
+    split = split_nodes(g["labels"])
+    mp = [g["metapath_relations"]]
+    cfg = MPGNNConfig(epochs=40, hidden_dim=16)
+    r_stream = train_mpgnn_clustered(pg, mp, split, 2, cfg, fused=False)
+    r_fused = train_mpgnn_clustered(pg, mp, split, 2, cfg, fused=True)
+    assert r_fused.test_f1 >= r_stream.test_f1 - 0.05
+    assert r_fused.test_f1 >= 0.9
