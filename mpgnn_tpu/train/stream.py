@@ -369,7 +369,7 @@ def _train_fused(
         ]
 
     @jax.jit
-    def run(params, opt_state, xs, data, tms, yss, perms):
+    def run_block(params, opt_state, xs, data, tms, yss, its, gis):
         def visit(carry, it_gi):
             p, st, _ = carry
             it, gi = it_gi
@@ -390,13 +390,13 @@ def _train_fused(
             upd, st = tx.update(grads, st, p)
             return (optax.apply_updates(p, upd), st, loss), None
 
-        its = jnp.arange(perms.size, dtype=jnp.int32)
-        gis = perms.reshape(-1)
         (p, st, loss), _ = jax.lax.scan(
-            visit, (params, opt_state, jnp.float32(0.0)),
-            (its, gis),
+            visit, (params, opt_state, jnp.float32(0.0)), (its, gis),
         )
+        return p, st, loss
 
+    @jax.jit
+    def run_eval(p, xs, data):
         def pred_one(_, gi):
             ops = retag_hop_ops(kinds, slice_ops(data, gi))
             out = mpgnn_forward(
@@ -407,12 +407,35 @@ def _train_fused(
         _, preds = jax.lax.scan(
             pred_one, None, jnp.arange(G, dtype=jnp.int32)
         )
-        return p, loss, preds
+        return preds
 
-    params_f, last_loss, preds_g = run(
-        params, opt_state, xs, data_stk, tms, yss, perms
-    )
-    preds_g = np.asarray(preds_g)
+    # epoch-BLOCKED dispatches with the (params, Adam) carry on device:
+    # one giant all-epochs dispatch crashed the TPU tunnel worker at 100M-
+    # edge scale (the round-4 long-dispatch pathology the csr eval's
+    # _csr_epoch_blocks designed out); ~2 epochs per dispatch keeps each
+    # device program seconds-long while still amortizing dispatch latency
+    # 2G-fold vs per-step streaming. Identical training stream: the
+    # (it, gi) sequence is just split at block boundaries.
+    operands = jax.device_put((xs, data_stk, tms, yss))
+    epb = max(1, min(2, cfg.epochs))
+    flat_its = np.arange(perms.size, dtype=np.int32)
+    flat_gis = perms.reshape(-1)
+    p_dev, st_dev = jax.device_put((params, opt_state))
+    last_loss = 0.0
+    pos = 0
+    block = epb * G
+    while pos < perms.size:
+        # pad the tail block by repeating the last visit with a ZERO-weight
+        # trick is unnecessary: equal-size blocks only, guaranteed by
+        # slicing whole epochs (perms.size = epochs * G, block = epb * G)
+        its = jnp.asarray(flat_its[pos: pos + block])
+        gis = jnp.asarray(flat_gis[pos: pos + block])
+        p_dev, st_dev, last_loss = run_block(
+            p_dev, st_dev, *operands, its, gis
+        )
+        pos += block
+    params_f = p_dev
+    preds_g = np.asarray(run_eval(p_dev, operands[0], operands[1]))
     if report is not None:
         report["train_s"] = round(time.time() - t0, 1)
         report["fused"] = True
