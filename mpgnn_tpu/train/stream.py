@@ -459,7 +459,9 @@ def _train_fused(
     preds = np.zeros(pgraph.num_nodes, dtype=np.int64)
     for g, (sub, _arrs) in enumerate(prepared):
         core = sub.core_mask
-        preds[sub.nodes[core]] = preds_g[g][core]
+        # preds_g rows are at the COMMON padded width n_max; each group's
+        # masks/node maps live at its own (smaller) n_pad — slice first
+        preds[sub.nodes[core]] = preds_g[g][: len(core)][core]
 
     def f1(idx, y):
         idx = np.asarray(idx)

@@ -167,10 +167,14 @@ def test_fused_clustered_matches_streaming_quality():
     from mpgnn_tpu.graph.partition import PartitionedHeteroGraph
     from mpgnn_tpu.train.stream import train_mpgnn_clustered
 
+    # 5 parts with blocks_per_step=2 -> a 2+2+1 grouping whose subgraphs
+    # land in DIFFERENT pow2 node buckets (regression: the fused eval's
+    # common-width prediction rows must be sliced back to each group's
+    # own n_pad before the core-mask scatter)
     g = generate_synthetic_graph(3000, 6, "red-red-blue", seed=2)
     pg = PartitionedHeteroGraph(
         g["node_features"].astype(np.float32), g["src"], g["dst"],
-        g["rel"], 4, 6, labels=g["labels"],
+        g["rel"], 4, 5, labels=g["labels"],
     )
     split = split_nodes(g["labels"])
     mp = [g["metapath_relations"]]
