@@ -38,14 +38,15 @@ def main():
     ap.add_argument("--blocks_per_step", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--hidden_dim", type=int, default=64)
-    ap.add_argument("--backend", type=str, default="segment",
-                    help="'segment' enables the fused whole-run-as-one-"
-                         "dispatch program (the tunnel charges ~1s per "
-                         "dispatch, which dominated the per-step mode's "
-                         "128 dispatches: 145.6s train); 'csr' runs the "
-                         "streamed per-step mode")
+    ap.add_argument("--backend", type=str, default="csr",
+                    help="aggregation backend inside each group's step")
     ap.add_argument("--no_fused", action="store_true",
-                    help="force the streamed per-step mode")
+                    help="force the streamed per-step mode (default: the "
+                         "fused epoch-blocked whole-run program — the "
+                         "tunnel charges ~1s per dispatch, which "
+                         "dominated per-step mode's 128 dispatches, and "
+                         "segment-mode fusion was scatter-compute-bound; "
+                         "fused csr is both dispatch- and scatter-free)")
     args = ap.parse_args()
 
     if args.platform:
@@ -86,7 +87,7 @@ def main():
 
     cfg = MPGNNConfig(epochs=args.epochs, hidden_dim=args.hidden_dim)
     report = {}
-    fused = args.backend == "segment" and not args.no_fused
+    fused = not args.no_fused
     t0 = time.time()
     res = train_mpgnn_clustered(
         pg, [planted], split, 2, cfg,

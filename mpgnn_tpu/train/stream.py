@@ -179,10 +179,19 @@ def train_mpgnn_clustered(
         build_hop_arrays returns device (jnp) leaves — pull them back to
         host so streaming mode really holds only the in-flight groups in
         HBM (the leaves re-upload via the prefetching device_put)."""
-        hop_ops = build_hop_arrays(sub.graph, metapaths, backend=backend)
-        kinds, data = split_hop_ops(hop_ops)
-        step_kinds[0] = kinds
-        data = jax.tree_util.tree_map(np.asarray, data)
+        if fused and backend == "csr":
+            # the fused path rebuilds blockings at a COMMON layout from
+            # the raw subgraph edges — building per-group layouts here
+            # would double the dominant host prep cost for nothing
+            step_kinds[0] = [["csr"] * len(mp) for mp in metapaths]
+            data = None
+        else:
+            hop_ops = build_hop_arrays(
+                sub.graph, metapaths, backend=backend
+            )
+            kinds, data = split_hop_ops(hop_ops)
+            step_kinds[0] = kinds
+            data = jax.tree_util.tree_map(np.asarray, data)
         tmask = in_train[sub.nodes] & sub.core_mask
         y = y_full[sub.nodes]
         return (
@@ -220,11 +229,13 @@ def train_mpgnn_clustered(
         report["halo_relations"] = list(map(int, halo_relations))
 
     if fused:
-        if any(k != "segment" for row in (step_kinds[0] or []) for k in row):
-            raise ValueError("fused=True requires backend='segment'")
+        if any(k not in ("segment", "csr")
+               for row in (step_kinds[0] or []) for k in row):
+            raise ValueError("fused=True requires backend segment or csr")
         return _train_fused(
             pgraph, prepared, cfg, tx, params, opt_state, drop_key, rng,
             compute_dtype, split, num_classes, step_kinds[0], report,
+            metapaths,
         )
 
     if resident is None:
@@ -315,15 +326,49 @@ def train_mpgnn_clustered(
     )
 
 
+def _pad_stack_csr(blks, n_max: int, bm: int):
+    """Pad per-group CsrBlockings (built at COMMON num_rows=n_max and
+    block size bm) to common (T_max, EP_max) and stack their leaves on a
+    leading group axis. Appended pad tiles target the LAST block (every
+    blocking's final real tile already does, so the kernel's fresh-zero
+    logic never re-zeros) with zero weights — their contribution is 0."""
+    from mpgnn_tpu.ops.pallas_csr import _LANE, _SUB
+
+    t_max = max(b.local.shape[0] for b in blks)
+    ep_max = max(b.weight.shape[0] for b in blks)
+    nb = max(1, -(-n_max // bm))
+    G = len(blks)
+    gidx = np.zeros((G, ep_max + 1), np.int32)
+    local = np.zeros((G, t_max, _SUB, _LANE), np.int32)
+    weight = np.zeros((G, ep_max), np.float32)
+    tile_block = np.full((G, t_max), nb - 1, np.int32)
+    for g, b in enumerate(blks):
+        t, ep = b.local.shape[0], b.weight.shape[0]
+        # spread pad gather slots over the row space (HBM channel spread)
+        gidx[g] = np.arange(ep_max + 1, dtype=np.int64) % n_max
+        gidx[g, : ep + 1] = np.asarray(b.gidx)
+        local[g, :t] = np.asarray(b.local)
+        weight[g, :ep] = np.asarray(b.weight)
+        tile_block[g, :t] = np.asarray(b.tile_block)
+    return gidx, local, weight, tile_block
+
+
 def _train_fused(
     pgraph, prepared, cfg, tx, params, opt_state, drop_key, rng,
-    compute_dtype, split, num_classes, kinds, report,
+    compute_dtype, split, num_classes, kinds, report, metapaths,
 ):
     """Whole-run-as-one-program clustered training (see
     ``train_mpgnn_clustered(fused=True)``): group operands padded to
     common pow2 buckets, stacked on a leading group axis, and a
     scan-over-(epoch, permuted group) slices each visit's operands ON
-    DEVICE — one training dispatch and one eval dispatch total."""
+    DEVICE — a handful of epoch-blocked dispatches total.
+
+    backend='segment' stacks the raw edge arrays (XLA sorted-segment
+    scatter per visit — compute-bound by the scatter's ~0.8 GB/s strategy
+    at wide stacks); backend='csr' rebuilds each group's blockings at a
+    COMMON (num_rows=n_max, bm) layout and stacks those — the
+    scatter-free kernel at streaming-dispatch-free cadence, the fast path
+    for beyond-HBM graphs behind a high-latency dispatch link."""
     import time
 
     from mpgnn_tpu.models.mpgnn import mpgnn_forward
@@ -342,27 +387,62 @@ def _train_fused(
         xs[g, :n] = x
         tms[g, :n] = tm
         yss[g, :n] = y
+    csr_mode = kinds[0][0] == "csr"
     data_stk = []
-    for p, row in enumerate(kinds):
-        prow = []
-        for h in range(len(row)):
-            e_max = max(arrs[1][p][h][0].shape[0] for _, arrs in prepared)
-            src = np.full((G, e_max), n_max - 1, np.int32)  # pad node
-            dst = np.zeros((G, e_max), np.int32)
-            mk = np.zeros((G, e_max), bool)
-            inv = np.zeros((G, n_max), np.float32)
-            for g, (_sub, (_x, d, _tm, _y)) in enumerate(prepared):
-                s_g, d_g, m_g, i_g = d[p][h]
-                e, n = s_g.shape[0], i_g.shape[0]
-                src[g, :e], dst[g, :e], mk[g, :e] = s_g, d_g, m_g
-                inv[g, :n] = i_g
-            prow.append((src, dst, mk, inv))
-        data_stk.append(prow)
+    csr_statics = {}
+    if csr_mode:
+        from mpgnn_tpu.ops.pallas_csr import _ET, build_csr_blocking
+
+        bm = 512
+        csr_statics = {"bm": bm, "et": _ET}
+        for p, mp in enumerate(metapaths):
+            prow = []
+            for h, rel in enumerate(mp):
+                fwds, bwds = [], []
+                for _sub, _arrs in prepared:
+                    s, d = _sub.graph.rel_edges(int(rel))
+                    f_b, b_b = build_csr_blocking(
+                        s, d, n_max, bm=bm, dedup="never"
+                    )
+                    fwds.append(f_b)
+                    bwds.append(b_b)
+                prow.append((_pad_stack_csr(fwds, n_max, bm),
+                             _pad_stack_csr(bwds, n_max, bm)))
+            data_stk.append(prow)
+    else:
+        for p, row in enumerate(kinds):
+            prow = []
+            for h in range(len(row)):
+                e_max = max(
+                    arrs[1][p][h][0].shape[0] for _, arrs in prepared
+                )
+                src = np.full((G, e_max), n_max - 1, np.int32)  # pad node
+                dst = np.zeros((G, e_max), np.int32)
+                mk = np.zeros((G, e_max), bool)
+                inv = np.zeros((G, n_max), np.float32)
+                for g, (_sub, (_x, d, _tm, _y)) in enumerate(prepared):
+                    s_g, d_g, m_g, i_g = d[p][h]
+                    e, n = s_g.shape[0], i_g.shape[0]
+                    src[g, :e], dst[g, :e], mk[g, :e] = s_g, d_g, m_g
+                    inv[g, :n] = i_g
+                prow.append((src, dst, mk, inv))
+            data_stk.append(prow)
     perms = np.stack(
         [rng.permutation(G) for _ in range(cfg.epochs)]
     ).astype(np.int32)
 
     def slice_ops(data, gi):
+        if csr_mode:
+            from mpgnn_tpu.ops.pallas_csr import CsrBlocking
+
+            def blk(leaves):
+                gx, lc, wt, tb = (leaf[gi] for leaf in leaves)
+                return CsrBlocking(gx, lc, wt, tb, n_max,
+                                   csr_statics["bm"], csr_statics["et"])
+
+            return [
+                [(blk(fw), blk(bw)) for fw, bw in row] for row in data
+            ]
         return [
             [tuple(leaf[gi] for leaf in hop) for hop in row]
             for row in data
@@ -442,10 +522,8 @@ def _train_fused(
         report["epochs"] = int(cfg.epochs)
         report["steps"] = int(perms.size)
         report["stacked_bytes"] = int(
-            xs.nbytes + tms.nbytes + yss.nbytes + sum(
-                leaf.nbytes for row in data_stk for hop in row
-                for leaf in hop
-            )
+            xs.nbytes + tms.nbytes + yss.nbytes
+            + _tree_nbytes(data_stk)
         )
         report["mp_edges_per_epoch"] = int(sum(
             g["mp_edges"] for g in report.get("groups", [])

@@ -183,3 +183,9 @@ def test_fused_clustered_matches_streaming_quality():
     r_fused = train_mpgnn_clustered(pg, mp, split, 2, cfg, fused=True)
     assert r_fused.test_f1 >= r_stream.test_f1 - 0.05
     assert r_fused.test_f1 >= 0.9
+    # fused csr: common-layout stacked blockings, scatter-free visits
+    r_csr = train_mpgnn_clustered(
+        pg, mp, split, 2, cfg, backend="csr", fused=True
+    )
+    assert r_csr.test_f1 >= r_stream.test_f1 - 0.05
+    assert r_csr.test_f1 >= 0.9
