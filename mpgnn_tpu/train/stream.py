@@ -496,7 +496,10 @@ def _train_fused(
     # device program seconds-long while still amortizing dispatch latency
     # 2G-fold vs per-step streaming. Identical training stream: the
     # (it, gi) sequence is just split at block boundaries.
+    t_stack = time.time()
     operands = jax.device_put((xs, data_stk, tms, yss))
+    jax.block_until_ready(operands)
+    t_up = time.time()
     epb = max(1, min(2, cfg.epochs))
     flat_its = np.arange(perms.size, dtype=np.int32)
     flat_gis = perms.reshape(-1)
@@ -504,18 +507,30 @@ def _train_fused(
     last_loss = 0.0
     pos = 0
     block = epb * G
+    t_first = None
     while pos < perms.size:
-        # pad the tail block by repeating the last visit with a ZERO-weight
-        # trick is unnecessary: equal-size blocks only, guaranteed by
-        # slicing whole epochs (perms.size = epochs * G, block = epb * G)
+        # equal-size blocks guaranteed by slicing whole epochs
+        # (perms.size = epochs * G, block = epb * G); a shorter tail from
+        # odd epochs just compiles one extra signature
         its = jnp.asarray(flat_its[pos: pos + block])
         gis = jnp.asarray(flat_gis[pos: pos + block])
         p_dev, st_dev, last_loss = run_block(
             p_dev, st_dev, *operands, its, gis
         )
+        if t_first is None:
+            jax.block_until_ready(last_loss)
+            t_first = time.time()
         pos += block
+    jax.block_until_ready(last_loss)
+    t_steady = time.time()
     params_f = p_dev
     preds_g = np.asarray(run_eval(p_dev, operands[0], operands[1]))
+    if report is not None:
+        report["stack_build_s"] = round(t_stack - t0, 1)
+        report["upload_s"] = round(t_up - t_stack, 1)
+        report["first_block_s"] = round(t_first - t_up, 1)
+        report["steady_blocks_s"] = round(t_steady - t_first, 1)
+        report["eval_dispatch_s"] = round(time.time() - t_steady, 1)
     if report is not None:
         report["train_s"] = round(time.time() - t0, 1)
         report["fused"] = True
