@@ -112,6 +112,12 @@ def main():
         "train_s": report.get("train_s"),
         "prep_s": report.get("prep_s"),
         "eval_s": report.get("eval_s"),
+        "fused_phases": {
+            k: report.get(k) for k in (
+                "stack_build_s", "upload_s", "first_block_s",
+                "steady_blocks_s", "eval_dispatch_s", "stacked_bytes",
+            )
+        } if fused else None,
         "device_peak_bytes": report.get("device_peak_bytes"),
         "resident_epoch_demand_bytes": 2 * meta["num_edges"]
         * args.hidden_dim * 4,
