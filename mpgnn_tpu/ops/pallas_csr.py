@@ -339,22 +339,30 @@ def build_csr_blocking(
     inv = (1.0 / np.maximum(deg, 1.0)).astype(np.float32)
     ew = inv[src]
 
+    bm_dedup = min(bm, 1024)
+
     def want(rows, cols):
         if dedup == "never" or len(src) == 0:
             return False
         if dedup == "always":
             return True
-        return dedup_ratio(rows, cols, bm) >= _DEDUP_MIN_RATIO
+        return dedup_ratio(rows, cols, bm_dedup) >= _DEDUP_MIN_RATIO
 
+    # the dedup kernel holds BOTH one-hots in VMEM ([U, ET] + [bm, ET]
+    # bf16) on top of the [bm, f] accumulator: at bm=2048 and wide padded
+    # feature dims the scoped-VMEM budget (16 MB) overflows (measured:
+    # f=186 fb15k eval, 16.77M demanded). bm<=1024 keeps the worst case
+    # ~8.5 MB; the routing ratio above is measured at the same bm.
+    bm_d = bm_dedup
     if want(src, dst):
         fwd = _build_one_direction_dedup(
-            src, dst, inv, num_nodes, bm, scale_is_pre=False, et=et
+            src, dst, inv, num_nodes, bm_d, scale_is_pre=False, et=et
         )
     else:
         fwd = _build_one_direction(src, dst, ew, num_nodes, bm, et)
     if want(dst, src):
         bwd = _build_one_direction_dedup(
-            dst, src, inv, num_nodes, bm, scale_is_pre=True, et=et
+            dst, src, inv, num_nodes, bm_d, scale_is_pre=True, et=et
         )
     else:
         bwd = _build_one_direction(dst, src, ew, num_nodes, bm, et)
