@@ -82,11 +82,15 @@ class MPGNNConfig:
     # to PER-ROUND maxima — ships far fewer ICI bytes when halo sizes are
     # skewed (power-law graphs). parallel/halo.py::build_halo_plan.
     halo_exchange: str = "a2a"
-    # Halo LOCAL aggregation: "segment" (XLA segment sums) or "csr" —
+    # Halo LOCAL aggregation: "segment" (XLA segment sums), "csr" —
     # per-shard Pallas sorted-CSR kernels over concat(local block, halo),
     # the scatter-free local path for north-star per-shard edge counts
-    # (parallel/halo.py::build_halo_csr_operands).
-    halo_local: str = "segment"
+    # (parallel/halo.py::build_halo_csr_operands) — or "auto" (default):
+    # csr for relations past the CSR_EDGE_CUTOVER crossover, segment below.
+    # Real-chip anchor (benchmarks/HALO_REAL.json, N=200k/E=10M/H=64):
+    # halo overhead vs plain csr is 1.05x with csr local, 7.33x with
+    # segment local.
+    halo_local: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,7 +113,7 @@ def build_hop_arrays(
     mesh=None,
     mesh_axis: str = "nodes",
     halo_exchange: str = "a2a",
-    halo_local: str = "segment",
+    halo_local: str = "auto",
 ):
     """Per-(metapath, hop) aggregation operands for the relations on a path,
     as tagged tuples consumed by models.mpgnn.hop_aggregate.
@@ -241,7 +241,19 @@ def build_hop_arrays(
                     )
                 plan = dense_cache[key]
                 csr_statics, csr_arrays = None, ()
-                if halo_local == "csr":
+                # 'auto': same per-relation crossover as resolve_backend —
+                # the real-chip anchor (benchmarks/HALO_REAL.json) measured
+                # segment-local halo at 7.33x plain csr vs 1.05x for
+                # csr-local at north-star shapes; small relations keep the
+                # segment path and skip the host-side blocking build
+                local = halo_local
+                if local == "auto":
+                    local = (
+                        "csr"
+                        if int(graph.rel_counts[rel]) >= CSR_EDGE_CUTOVER
+                        else "segment"
+                    )
+                if local == "csr":
                     ck = key + ("csr",)
                     if ck not in dense_cache:
                         dense_cache[ck] = build_halo_csr_operands(plan)

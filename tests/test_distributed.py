@@ -486,6 +486,35 @@ def test_train_mpgnn_halo_csr_local_matches_segment_local():
     assert b.val_f1 == a.val_f1 and b.test_f1 == a.test_f1
 
 
+def test_halo_local_auto_resolves_by_relation_size(monkeypatch):
+    """halo_local='auto' (the default) picks the csr local kernel for
+    relations past CSR_EDGE_CUTOVER and the segment path below — the
+    real-chip anchor (benchmarks/HALO_REAL.json) measured 1.05x vs 7.33x
+    halo overhead for the two at north-star shapes. The op tuple carries
+    csr statics (index 6) only on the csr path."""
+    from mpgnn_tpu.parallel import make_mesh
+    from mpgnn_tpu.train import loops
+
+    g, _split = _toy_hetero(seed=21)
+    mesh = make_mesh((4,), ("nodes",), jax.devices()[:4])
+
+    def statics_of(ops):
+        assert ops[0][0][0] == "halo"
+        return ops[0][0][6]
+
+    # every toy relation is far below the real cutover -> segment local
+    ops = loops.build_hop_arrays(
+        g, [[0]], backend="halo", mesh=mesh, halo_local="auto"
+    )
+    assert statics_of(ops) is None
+    # lower the cutover below the toy edge count -> csr local
+    monkeypatch.setattr(loops, "CSR_EDGE_CUTOVER", 1)
+    ops = loops.build_hop_arrays(
+        g, [[0]], backend="halo", mesh=mesh, halo_local="auto"
+    )
+    assert statics_of(ops) is not None
+
+
 def test_train_mpgnn_halo_decomposed_and_bf16():
     """Node-sharded training composes with the basis decomposition,
     class-weighted NLL and the bf16 compute dtype (smoke: finite loss)."""
