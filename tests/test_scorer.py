@@ -275,6 +275,42 @@ def test_segment_first_max_tie_break():
     assert gr[3] == 1.0 and gr[2] == 0.0     # first edge's dst (3) wins
 
 
+def test_segment_first_max_scan_matches_bruteforce():
+    """The segmented-associative-scan first-max (round-5 rewrite of the
+    per-epoch argmax; scoring._seg_first_max_scan) matches a per-segment
+    numpy oracle on random sorted id streams with duplicates, empty
+    segments, and fully-masked segments — winner index, max value, and
+    has-flag all agree, with ties at the FIRST occurrence."""
+    from mpgnn_tpu.search.scoring import _seg_boundaries, _seg_first_max_scan
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        C = 12
+        E = int(rng.integers(8, 40))
+        src = np.sort(rng.integers(0, C, E)).astype(np.int32)
+        em = rng.random(E) < 0.7
+        # quantized values make ties likely
+        vals_raw = rng.integers(0, 4, E).astype(np.float32)
+        vals = np.where(em, vals_raw, -np.inf).astype(np.float32)
+
+        bound = _seg_boundaries(
+            jnp.asarray(src), jnp.asarray(em), C
+        )
+        seg_max, win_e, has = (
+            np.asarray(a)
+            for a in _seg_first_max_scan(jnp.asarray(vals), *bound)
+        )
+        for c in range(C):
+            idx = np.where((src == c) & em)[0]
+            if len(idx) == 0:
+                assert not has[c], (trial, c)
+                continue
+            assert has[c], (trial, c)
+            best = idx[np.argmax(vals[idx])]   # np.argmax: first max
+            assert win_e[c] == best, (trial, c, win_e[c], best)
+            np.testing.assert_allclose(seg_max[c], vals[best])
+
+
 def test_hub_relation_routes_to_segment():
     """A relation with one huge-degree hub must route to the segment path
     (one hub node would otherwise inflate the whole [N, D] ELL table)."""
